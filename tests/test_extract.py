@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_UNIT
+from tests.oracle_compare import assert_matches_oracle
+from ttmf_spark import corpus, oracles
+from ttmf_spark.extract import extract_triples
+from ttmf_spark.extract.canonicalize import connected_components
+from ttmf_spark.extract.linking import resolve_surfaces
+
+
+def test_extraction_precision_recall_exact(spark):
+    """Emitted triples vs planted truth: P = R = 1.0 (>= 0.95 required
+    by BASELINE.json; exact by construction on the synthetic corpus)."""
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    got = extract_triples(docs, gaz, same)
+    truth = corpus.truth_triples(spark, SF_UNIT)
+    n_got = got.count()
+    n_truth = truth.count()
+    n_inter = got.intersect(truth).count()
+    assert n_got == n_truth == n_inter, (n_got, n_truth, n_inter)
+
+
+def test_extraction_matches_duckdb_oracle(spark):
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    got = extract_triples(docs, gaz, same)
+    assert_matches_oracle(got, oracles.truth_triples_sql(), SF_UNIT)
+
+
+def test_connected_components_chain_and_star(spark):
+    edges = spark.createDataFrame(
+        [
+            ("b", "c"), ("c", "d"), ("d", "a"),       # chain -> comp a
+            ("x", "z"), ("y", "z"),                   # star  -> comp x
+            ("q", "q"),                               # self-loop ignored
+        ],
+        ["src", "dst"],
+    )
+    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    assert cc == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x", "z": "x",
+        "q": "q",  # self-loop-only node is its own component
+    }
+
+
+def test_connected_components_empty(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert connected_components(edges).count() == 0
+
+
+def test_link_disambiguation_prior_then_entity(spark):
+    gaz = spark.createDataFrame(
+        [
+            ("Apple", "APPLE_FRUIT", 0.4),
+            ("Apple", "APPLE_INC", 0.9),
+            ("Tie", "B_ENT", 0.5),
+            ("Tie", "A_ENT", 0.5),
+        ],
+        ["surface", "entity", "prior"],
+    )
+    best = {r.surface: r.entity for r in resolve_surfaces(gaz).collect()}
+    assert best == {"Apple": "APPLE_INC", "Tie": "A_ENT"}

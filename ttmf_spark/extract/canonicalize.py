@@ -1,0 +1,130 @@
+"""Entity canonicalization: connected components over same_as alias edges.
+
+Implements the alternating large-star / small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+algorithm, referenced from PAPERS.md) directly on DataFrames:
+
+  large-star: every node u links each *strictly greater* neighbor to
+              m = min(N(u) ∪ {u})
+  small-star: every node u links each *smaller-or-equal* neighbor (and
+              itself) to m = min(N≤(u) ∪ {u})
+
+Both rounds are a groupBy-agg + explode (two shuffles per iteration);
+convergence in O(log n) iterations. Lineage is truncated with
+``localCheckpoint`` every iteration so the plan does not grow.
+
+The component label is the lexicographically smallest member, which is the
+canonical entity id by corpus construction ("C17" < "C17A" < "C17B").
+
+Reference parity note: the reference has no canonicalization stage — this
+operator is required by BASELINE.json (north_rule: "entity linking,
+canonicalization"); SURVEY.md G7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large- or small-star round over undirected (u, v) edges.
+
+    ``edges`` must be symmetric (both directions present) for large-star;
+    we keep the canonical representation as directed (child -> parent)
+    pairs with child > parent and re-symmetrize inside.
+    """
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    if large:
+        grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        out = grouped.select(
+            "u",
+            F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u")))).alias("m"),
+            F.explode("nbrs").alias("n"),
+        ).filter(F.col("n") > F.col("u"))
+        return out.select(F.col("n").alias("u"), F.col("m").alias("v")).filter(
+            F.col("u") != F.col("v")
+        )
+    grouped = (
+        sym.filter(F.col("v") <= F.col("u"))
+        .groupBy("u")
+        .agg(F.collect_set("v").alias("nbrs"))
+    )
+    out = grouped.select(
+        "u",
+        F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u")))).alias("m"),
+        F.explode(F.array_union(F.col("nbrs"), F.array(F.col("u")))).alias("n"),
+    )
+    return out.select(F.col("n").alias("u"), F.col("m").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """(src, dst) undirected edges -> (node, component) with component = min id.
+
+    Every endpoint appears in the output (representatives map to
+    themselves); nodes appearing only in self-loops map to themselves.
+    """
+    all_edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        all_edges.select(F.col("u").alias("node"))
+        .union(all_edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    cur = all_edges.filter(F.col("u") != F.col("v")).distinct()
+    if cur.isEmpty():
+        return nodes.select("node", F.col("node").alias("component"))
+    cur = cur.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        after_large = _star_round(cur, large=True).distinct()
+        after_small = _star_round(after_large, large=False).distinct()
+        after_small = after_small.localCheckpoint(eager=True)
+        # converged when the (child > parent)-normalized edge set is stable
+        changed = (
+            after_small.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(after_small).limit(1).count()
+        )
+        cur = after_small
+        if changed == 0:
+            break
+    # at convergence every edge is (node -> component-min); re-attach
+    # representatives and self-loop-only nodes as their own component
+    labels = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
+def canonical_map(same_as: DataFrame) -> DataFrame:
+    """same_as (src, dst) -> (entity, canonical) for non-trivial entities."""
+    cc = connected_components(same_as)
+    return cc.select(F.col("node").alias("entity"), F.col("component").alias("canonical"))
+
+
+def apply_canonical(
+    df: DataFrame, mapping: DataFrame, cols: list[str], broadcast_map: bool = True
+) -> DataFrame:
+    """Rewrite each column in ``cols`` through the canonical mapping.
+
+    The mapping is dim-sized (#aliased entities), so a broadcast join per
+    column avoids shuffling the triple stream; entities without an alias
+    chain canonicalize to themselves via coalesce (SURVEY.md J1/P3 pattern).
+    """
+    out = df
+    for c in cols:
+        m = mapping.select(
+            F.col("entity").alias(f"_ent_{c}"), F.col("canonical").alias(f"_can_{c}")
+        )
+        if broadcast_map:
+            m = F.broadcast(m)
+        out = (
+            out.join(m, out[c] == m[f"_ent_{c}"], "left")
+            .withColumn(c, F.coalesce(F.col(f"_can_{c}"), F.col(c)))
+            .drop(f"_ent_{c}", f"_can_{c}")
+        )
+    return out

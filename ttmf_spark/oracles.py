@@ -1,0 +1,91 @@
+"""DuckDB oracle SQL builders for the driver correctness gate.
+
+Every SQL string here runs on the driver-registered views (region nation
+customer supplier part orders lineitem events documents embeddings) and
+reuses the exact template fragments from ``ttmf_spark.corpus`` so the
+Spark pipeline and its oracle stay definitionally in sync.
+"""
+
+from __future__ import annotations
+
+from ttmf_spark.corpus import (
+    HEAD_TEXT,
+    LINE_TEXT,
+    MEDIA_ORDER_MOD,
+    MEDIA_PART_MOD,
+    MEDIA_SUPP_MOD,
+)
+
+# Shared CTEs: orders x customer x nation, and lineitem x supplier
+_OC = (
+    "oc AS (SELECT o_orderkey, c_custkey, c_nationkey, n_regionkey "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey)"
+)
+_LI = (
+    "li AS (SELECT l_orderkey, l_linenumber, l_partkey, s_suppkey, s_nationkey "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)"
+)
+
+
+def truth_triples_sql() -> str:
+    """Planted (s, p, o) triples — the expected output of the full
+    extract -> link -> canonicalize pipeline (P = R = 1.0 by construction)."""
+    return f"""
+WITH {_OC}, {_LI}
+SELECT DISTINCT s, p, o FROM (
+  SELECT 'O' || o_orderkey AS s, 'placed_by' AS p, 'C' || c_custkey AS o FROM oc
+  UNION ALL SELECT 'C' || c_custkey, 'in_nation', 'N' || c_nationkey FROM oc
+  UNION ALL SELECT 'N' || c_nationkey, 'in_region', 'R' || n_regionkey FROM oc
+  UNION ALL SELECT 'O' || l_orderkey, 'contains', 'P' || l_partkey FROM li
+  UNION ALL SELECT 'P' || l_partkey, 'supplied_by', 'S' || s_suppkey FROM li
+  UNION ALL SELECT 'S' || s_suppkey, 'in_nation', 'N' || s_nationkey FROM li
+) t
+"""
+
+
+def raw_spans_sql() -> str:
+    """Un-positioned spans with their (sort1, sort2) order keys."""
+    return f"""
+WITH {_OC}, {_LI},
+raw AS (
+  SELECT 'D' || o_orderkey AS doc_id, CAST(-1 AS BIGINT) AS sort1,
+         CAST(0 AS BIGINT) AS tie1, CAST(0 AS BIGINT) AS tie2, 0 AS sort2,
+         'text' AS kind, {HEAD_TEXT} AS text, CAST(NULL AS VARCHAR) AS media_ref
+  FROM oc
+  UNION ALL
+  SELECT 'D' || l_orderkey, CAST(l_linenumber AS BIGINT),
+         CAST(l_partkey AS BIGINT), CAST(s_suppkey AS BIGINT), 0,
+         'text', {LINE_TEXT}, NULL
+  FROM li
+  UNION ALL
+  SELECT 'D' || l_orderkey, CAST(l_linenumber AS BIGINT),
+         CAST(l_partkey AS BIGINT), CAST(s_suppkey AS BIGINT), 1,
+         'image', NULL, 'media://part/' || l_partkey
+  FROM li WHERE l_partkey % {MEDIA_PART_MOD} = 0
+  UNION ALL
+  SELECT 'D' || l_orderkey, CAST(l_linenumber AS BIGINT),
+         CAST(l_partkey AS BIGINT), CAST(s_suppkey AS BIGINT), 2,
+         'video', NULL, 'media://supplier/' || s_suppkey
+  FROM li WHERE s_suppkey % {MEDIA_SUPP_MOD} = 0
+  UNION ALL
+  SELECT 'D' || o_orderkey, CAST(2147483648 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0,
+         'audio', NULL, 'media://order/' || o_orderkey
+  FROM oc WHERE o_orderkey % {MEDIA_ORDER_MOD} = 0
+)
+SELECT * FROM raw
+"""
+
+
+def span_flatten_sql() -> str:
+    """Expected (doc_id, pos, kind, text, media_ref, offset) rows — the
+    span-sequence invariant surface (BASELINE.json per-row invariant)."""
+    return f"""
+WITH raw AS ({raw_spans_sql()})
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sort1, tie1, tie2, sort2) - 1 AS INT) AS pos,
+       kind, text, media_ref,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sort1, tie1, tie2, sort2) - 1 AS INT) AS offset
+FROM raw
+"""

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; the same config block is
+what we would pass to ``spark-submit`` on a multi-executor cluster (AQE,
+skew-join handling, Arrow batching). Only ``spark.driver.memory`` is
+local-mode specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ttmf_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    - AQE on: runtime partition coalescing + skew-join splitting cover the
+      data-dependent shuffle sizing we cannot know statically at 100 TB.
+    - Arrow on: every Python-side operator in this repo is a pandas UDF /
+      applyInPandas; row-at-a-time Python UDFs are banned.
+    - shuffle.partitions defaults to 2x cores locally; on a real cluster
+      this is overridden (or left to AQE's coalescing with a high initial
+      partition count).
+    """
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or None
+    if n_shuffle is None:
+        try:
+            n_cores = int(str(cores))
+        except ValueError:
+            n_cores = os.cpu_count() or 8
+        n_shuffle = max(8, 2 * n_cores)
+    builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
