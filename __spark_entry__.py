@@ -5,10 +5,11 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Implemented operators map to SURVEY.md §2; the KG-specific queries run
-over the deterministic interleaved-docs corpus derived from the driver
-parquet tables (ttmf_spark.corpus), which makes the full
-extract -> link -> canonicalize pipeline exactly SQL-derivable.
+Query inventory maps to SURVEY.md §2 (KG construction + TTMF trust
+stages) plus the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal). Entries without an oracle_sql() are the
+genuinely non-SQL-expressible ops (iterative PageRank fixpoint,
+hash-seeded negatives/media) and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -17,38 +18,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ttmf_spark import corpus, oracles
-from ttmf_spark.extract import extract_triples
-
-
-def _docs_inputs(spark: SparkSession, sf_dir: str):
-    return (
-        corpus.interleaved_docs(spark, sf_dir),
-        corpus.gazetteer(spark, sf_dir),
-        corpus.same_as_edges(spark, sf_dir),
-    )
-
-
-def q_span_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus span sequence (the per-row span invariant surface)."""
-    return corpus.flat_spans(spark, sf_dir)
-
-
-def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full front end: docs -> mentions -> link -> canonicalize -> (s,p,o)."""
-    docs, gaz, same = _docs_inputs(spark, sf_dir)
-    return extract_triples(docs, gaz, same)
+from ttmf_spark import oracles, oracles_docs, oracles_kg
+from ttmf_spark import queries as Q
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: end-to-end KG construction on /root/testdata/sf0.001."""
-    return q_extract_triples(spark, "/root/testdata/sf0.001")
+    return Q.q_extract_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "span_flatten": q_span_flatten,
-        "extract_triples": q_extract_triples,
+        # corpus + extraction front end
+        "span_flatten": Q.q_span_flatten,
+        "extract_triples": Q.q_extract_triples,
+        # KG layer (SURVEY.md §2.3-2.7)
+        "kg_entity2id": Q.q_kg_entity2id,
+        "kg_triples2id": Q.q_kg_triples2id,
+        "kg_adjacency": Q.q_kg_adjacency,
+        "kg_reach": Q.q_kg_reach,
+        "kg_subgraph_edges": Q.q_kg_subgraph_edges,
+        "kg_degrees": Q.q_kg_degrees,
+        "kg_paths": Q.q_kg_paths,
+        "kg_threshold_scan": Q.q_kg_threshold_scan,
+        "kg_pagerank": Q.q_kg_pagerank,
+        "kg_tc_pairs": Q.q_kg_tc_pairs,
+        # data pipeline: text analysis + dedup
+        "doc_stats": Q.q_doc_stats,
+        "doc_quality": Q.q_doc_quality,
+        "doc_langid": Q.q_doc_langid,
+        "doc_fingerprint": Q.q_doc_fingerprint,
+        "doc_exact_dedup": Q.q_doc_exact_dedup,
+        "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
+        "doc_minhash_pairs": Q.q_doc_minhash_pairs,
+        "doc_simhash": Q.q_doc_simhash,
+        "doc_simhash_near_dup": Q.q_doc_simhash_near_dup,
+        # data pipeline: similarity search
+        "emb_topk": Q.q_emb_topk,
+        "emb_near_dup": Q.q_emb_near_dup,
+        "emb_lsh_topk": Q.q_emb_lsh_topk,
+        # data pipeline: multimodal plumbing
+        "media_features": Q.q_media_features,
     }
 
 
@@ -56,4 +66,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         "span_flatten": oracles.span_flatten_sql(),
         "extract_triples": oracles.truth_triples_sql(),
+        "kg_entity2id": oracles_kg.kg_entity2id_sql(),
+        "kg_triples2id": oracles_kg.kg_triples2id_sql(),
+        "kg_adjacency": oracles_kg.kg_adjacency_sql(),
+        "kg_reach": oracles_kg.kg_reach_sql(),
+        "kg_subgraph_edges": oracles_kg.kg_subgraph_edges_sql(),
+        "kg_degrees": oracles_kg.kg_degrees_sql(),
+        "kg_paths": oracles_kg.kg_paths_sql(),
+        "kg_threshold_scan": oracles_kg.kg_threshold_scan_sql(),
+        "doc_stats": oracles_docs.doc_stats_sql(),
+        "doc_quality": oracles_docs.doc_quality_sql(),
+        "doc_langid": oracles_docs.doc_langid_sql(),
+        "doc_fingerprint": oracles_docs.doc_fingerprint_sql(),
+        "doc_exact_dedup": oracles_docs.doc_exact_dedup_sql(),
+        "doc_jaccard_pairs": oracles_docs.doc_jaccard_pairs_sql(),
+        "doc_minhash_pairs": oracles_docs.doc_minhash_pairs_sql(),
+        "doc_simhash": oracles_docs.doc_simhash_sql(),
+        "emb_topk": oracles_docs.emb_topk_sql(),
+        "emb_near_dup": oracles_docs.emb_near_dup_sql(),
+        # rows-only (no oracle): kg_pagerank, kg_tc_pairs,
+        # doc_simhash_near_dup, emb_lsh_topk, media_features
     }

@@ -3,15 +3,20 @@
 Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {...per-query sec...}, "sf": ..., "extras": {...}}.
 
-The headline metric is end-to-end KG construction throughput
-(docs -> extract -> link -> canonicalize -> materialize), measured from a
-pre-materialized interleaved-docs parquet (generation is not part of the
-pipeline under test). TTMF scoring stages are added to the timed pipeline
-as they land.
+Headline: end-to-end KG construction + TTMF trust scoring
+(docs -> extract -> link -> canonicalize -> score -> materialize),
+measured from a pre-materialized interleaved-docs parquet (corpus
+generation is not part of the pipeline under test). The scoring stage
+runs on a deterministic subset of documents (SPARK_GRAFT_SCORE_FRAC_MOD)
+so the bench completes within a per-round budget while measuring the
+same per-triple cost; triples/sec is reported for both stages.
 
-Scaling-efficiency evidence (BASELINE.json: >=0.8 from N to 4N executors)
-is produced by scripts/scaling_bench.sh running this file at
-SPARK_GRAFT_CPUS=8 and =32 on the identical input.
+Scaling-efficiency evidence (BASELINE.json: >=0.8 from N to 4N
+executors): with SPARK_GRAFT_SCALING=1 (default) the extraction stage is
+re-run at local[8] on the same input and extras.scaling reports
+throughput at both parallelism levels and efficiency =
+(thr_32 / thr_8) / (32 / 8). scripts/scaling_bench.sh writes the
+long-form report to BENCH.md.
 """
 
 from __future__ import annotations
@@ -22,13 +27,20 @@ import shutil
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from ttmf_spark import corpus
 from ttmf_spark.extract import extract_triples
+from ttmf_spark.kg.pipeline import score_triples
 from ttmf_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 WORK = os.environ.get("SPARK_GRAFT_WORK", "/tmp/ttmf_bench")
+SCORE_MOD = int(os.environ.get("SPARK_GRAFT_SCORE_FRAC_MOD", "20"))  # 1/20 of docs
+TRANSE_EPOCHS = int(os.environ.get("SPARK_GRAFT_TRANSE_EPOCHS", "10"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+SCALING_BASE_CPUS = int(os.environ.get("SPARK_GRAFT_SCALING_BASE", "8"))
 
 
 def _materialize_inputs(spark, sf_dir: str, work: str) -> str:
@@ -42,6 +54,19 @@ def _materialize_inputs(spark, sf_dir: str, work: str) -> str:
     return docs_path
 
 
+def _run_extract(spark, docs_path: str, sf_dir: str, out_path: str) -> tuple[float, int]:
+    shutil.rmtree(out_path, ignore_errors=True)
+    docs = spark.read.parquet(docs_path)
+    gaz = corpus.gazetteer(spark, sf_dir)
+    same = corpus.same_as_edges(spark, sf_dir)
+    t0 = time.perf_counter()
+    triples = extract_triples(docs, gaz, same)
+    triples.write.mode("overwrite").parquet(out_path)
+    dt = time.perf_counter() - t0
+    n = spark.read.parquet(out_path).count()
+    return dt, n
+
+
 def main() -> None:
     spark = get_spark(app_name="ttmf_bench", cores=CPUS)
     os.makedirs(WORK, exist_ok=True)
@@ -50,45 +75,94 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # q1: end-to-end KG construction (extract -> link -> canonicalize -> write)
+    # q1: KG construction (extract -> link -> canonicalize -> write)
     out_path = os.path.join(WORK, "triples_out.parquet")
-    shutil.rmtree(out_path, ignore_errors=True)
-    docs = spark.read.parquet(docs_path)
+    dt, n_triples = _run_extract(spark, docs_path, SF_DIR, out_path)
+    timings["kg_construct_e2e"] = dt
+    extras["triples_out"] = n_triples
+    extras["extract_triples_per_sec"] = n_triples / dt
+
+    # q2: TTMF trust scoring on a deterministic doc subset
+    sub_docs = spark.read.parquet(docs_path).filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(SCORE_MOD)) == 0
+    )
     gaz = corpus.gazetteer(spark, SF_DIR)
     same = corpus.same_as_edges(spark, SF_DIR)
+    scored_path = os.path.join(WORK, "scored_out.parquet")
+    shutil.rmtree(scored_path, ignore_errors=True)
     t0 = time.perf_counter()
-    triples = extract_triples(docs, gaz, same)
-    triples.write.mode("overwrite").parquet(out_path)
-    t1 = time.perf_counter()
-    timings["kg_construct_e2e"] = t1 - t0
-    n_triples = spark.read.parquet(out_path).count()
-    extras["triples_out"] = n_triples
-    extras["triples_per_sec"] = n_triples / timings["kg_construct_e2e"]
+    sub_triples = extract_triples(sub_docs, gaz, same)
+    scored, _model = score_triples(
+        spark, sub_triples, kind="logistic", transe_kw={"epochs": TRANSE_EPOCHS}
+    )
+    scored.write.mode("overwrite").parquet(scored_path)
+    timings["ttmf_score_e2e"] = time.perf_counter() - t0
+    n_scored = spark.read.parquet(scored_path).count()
+    extras["triples_scored"] = n_scored
+    extras["scored_triples_per_sec"] = n_scored / timings["ttmf_score_e2e"]
 
-    # q2: span flatten scan (input-invariant surface)
+    # q3: span flatten scan (input-invariant surface)
     t0 = time.perf_counter()
-    n_spans = spark.read.parquet(docs_path).select(
-        "doc_id", "spans"
-    ).selectExpr("doc_id", "posexplode(spans) as (pos, span)").count()
+    n_spans = (
+        spark.read.parquet(docs_path)
+        .selectExpr("doc_id", "posexplode(spans) as (pos, span)")
+        .count()
+    )
     timings["span_flatten"] = time.perf_counter() - t0
     extras["spans"] = n_spans
+
+    # q4: dedup + similarity over the driver tables
+    from ttmf_spark.datapipe import dedup, similarity
+
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.perf_counter()
+    n_pairs = dedup.minhash_lsh_pairs(docs_tbl, tau=0.8, k=64, bands=16).count()
+    timings["dedup_minhash"] = time.perf_counter() - t0
+    extras["near_dup_pairs"] = n_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.perf_counter()
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    n_nn = similarity.brute_force_topk(emb, qs, k=10).count()
+    timings["similarity_topk"] = time.perf_counter() - t0
+    extras["topk_rows"] = n_nn
+
+    spark.stop()
+
+    # scaling probe: same extraction job at local[SCALING_BASE_CPUS]
+    if DO_SCALING:
+        spark8 = get_spark(app_name="ttmf_bench_scale", cores=str(SCALING_BASE_CPUS))
+        out8 = os.path.join(WORK, "triples_out_scale.parquet")
+        dt8, n8 = _run_extract(spark8, docs_path, SF_DIR, out8)
+        spark8.stop()
+        thr_hi = n_triples / timings["kg_construct_e2e"]
+        thr_lo = n8 / dt8
+        ratio = int(CPUS) / SCALING_BASE_CPUS
+        extras["scaling"] = {
+            f"triples_per_sec_local{SCALING_BASE_CPUS}": round(thr_lo, 1),
+            f"triples_per_sec_local{CPUS}": round(thr_hi, 1),
+            "cores_ratio": ratio,
+            "efficiency": round((thr_hi / thr_lo) / ratio, 3),
+        }
 
     total = sum(timings.values())
     print(
         json.dumps(
             {
-                "metric": "kg_construct_e2e_sec",
+                "metric": "kg_construct_plus_ttmf_score_sec",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": os.path.basename(SF_DIR),
                 "cpus": CPUS,
-                "extras": {k: round(v, 3) for k, v in extras.items()},
+                "extras": {
+                    k: (v if isinstance(v, dict) else round(v, 3))
+                    for k, v in extras.items()
+                },
             }
         )
     )
     sys.stdout.flush()
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -10,6 +10,8 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="ttmf_spark_tests", cores=8, shuffle_partitions=8)
+    # few shuffle partitions: test fixtures are tiny, task-launch overhead
+    # dominates — 4 partitions makes the suite several times faster than 16
+    s = get_spark(app_name="ttmf_spark_tests", cores=16, shuffle_partitions=4)
     yield s
     s.stop()

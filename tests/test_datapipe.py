@@ -1,0 +1,169 @@
+"""Unit tests for the data-pipeline operators (dedup / similarity / text /
+multimodal) against hand-computed and numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ttmf_spark.datapipe import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (5, "a b"),                                            # shorter than n
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _shingle_set(text, n=3):
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["dup_count"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 4 collapse, min id survives
+    assert 4 not in out and out[2] == 1 and out[3] == 1
+
+
+def test_jaccard_pairs_matches_set_oracle(docs):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in dedup.jaccard_pairs(docs, tau=0.3).collect()}
+    for (a, ta), (b, tb) in [((1, DOCS[0][1]), (2, DOCS[1][1])), ((1, DOCS[0][1]), (4, DOCS[3][1]))]:
+        sa, sb = _shingle_set(ta), _shingle_set(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.3:
+            assert got[(a, b)] == pytest.approx(round(j, 6))
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    assert all(j >= 0.3 for j in got.values())
+
+
+def test_minhash_recovers_exact_pairs(docs):
+    exact = {(r["a"], r["b"]) for r in dedup.jaccard_pairs(docs, tau=0.6).collect()}
+    approx = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs, tau=0.6, k=32, bands=16).collect()}
+    # high-sim pairs survive LSH at r=2 with high probability; the exact
+    # verify step guarantees no false positives
+    assert approx <= exact
+    assert (1, 4) in approx  # identical docs always collide
+
+
+def test_simhash_identical_and_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sh[1] == sh[4]
+    nd = {(r["a"], r["b"]): r["hamming"] for r in dedup.simhash_near_dup(docs, max_hamming=16).collect()}
+    assert nd.get((1, 4)) == 0
+    # recall guarantee (pigeonhole): every pair sharing a 16-bit block AND
+    # within max_hamming must be found; pairs with hamming <= 3 always
+    # share a block. Verify against a python oracle.
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(sh[a] ^ sh[b]).count("1")
+            blocks_equal = any(
+                (sh[a] >> (16 * k)) & 0xFFFF == (sh[b] >> (16 * k)) & 0xFFFF
+                for k in range(4)
+            )
+            if ham <= 16 and blocks_equal:
+                assert (a, b) in nd and nd[(a, b)] == ham
+            if ham <= 3:
+                assert (a, b) in nd
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], ["vec_id", "embedding"]
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = dedup_rows = similarity.brute_force_topk(emb, queries, k=4).collect()
+    unit = vecs.astype(np.float64)
+    unit = unit / np.linalg.norm(unit, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for q in range(3):
+        order = [
+            i for i in sorted(range(30), key=lambda i: (-round(sims[q, i], 6), i)) if i != q
+        ][:4]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert mine == order
+        for r in got:
+            if r["query_id"] == q:
+                assert r["cos"] == pytest.approx(round(sims[q, r["neighbor_id"]], 6), abs=2e-6)
+
+
+def test_lsh_topk_subset_of_brute(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    lsh = similarity.lsh_topk(emb, queries, k=40, p=3, dim=8).collect()
+    # every returned neighbor shares the query's bucket and cosine is exact
+    unit = vecs.astype(np.float64)
+    unit = unit / np.linalg.norm(unit, axis=1, keepdims=True)
+    for r in lsh:
+        want = round(float(unit[r["query_id"]] @ unit[r["neighbor_id"]]), 6)
+        assert r["cos"] == pytest.approx(want, abs=2e-6)
+
+
+def test_token_counts_and_quality(docs):
+    tc = {r["doc_id"]: (r["n_tokens"], r["n_subwords"]) for r in
+          textstats.with_token_counts(docs).collect()}
+    assert tc[1][0] == 9 and tc[5][0] == 2
+    q = {r["doc_id"]: r for r in textstats.with_quality_score(docs).collect()}
+    assert q[1]["stop_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    assert q[1]["punct_ratio"] == 0.0
+    assert 0.0 <= q[1]["quality"] <= 1.0
+
+
+def test_langid(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "el gato y la casa de que"),
+            (3, "der hund und die katze ist"),
+            (4, "xyz qqq zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.with_lang_id(d).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_media_pipeline(spark):
+    flat = spark.createDataFrame(
+        [
+            ("d1", 0, "image", None, "media://part/7"),
+            ("d1", 1, "video", None, "media://supplier/13"),
+            ("d2", 0, "audio", None, "media://order/11"),
+            ("d2", 1, "text", "hello", None),
+        ],
+        ["doc_id", "pos", "kind", "text", "media_ref"],
+    )
+    media = multimodal.media_table(flat)
+    rows = media.collect()
+    assert len(rows) == 3
+    img = [r for r in rows if r["kind"] == "image"][0]
+    assert img["meta"]["width"] is not None and img["meta"]["codec"] == "fake-image"
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 3
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic: same content -> same features
+    again = multimodal.extract_features(media).collect()
+    assert {r["media_ref"]: tuple(r["features"]) for r in feats} == {
+        r["media_ref"]: tuple(r["features"]) for r in again
+    }
+    plan = multimodal.frame_sample_plan(media, every_ms=60000).collect()
+    assert all(r["frame_ms"] % 60000 == 0 for r in plan)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"x", "image")

@@ -1,0 +1,341 @@
+"""Unit tests for the KG trust-scoring layer vs reference-semantics oracles."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.ref_oracles import (
+    best_threshold_oracle,
+    pagerank_oracle,
+    path_rank_oracle,
+    searchpath_oracle,
+)
+from ttmf_spark.kg import encode, graph, negatives, pagerank, paths, rrank, transe
+from ttmf_spark.kg.threshold import best_threshold
+
+
+# --- fixtures ---------------------------------------------------------------
+
+TINY_TRIPLES = [
+    # (s, p, o) — small KG with parallel edges, a cycle, and a hub
+    ("a", "r1", "b"),
+    ("a", "r2", "b"),
+    ("a", "r1", "c"),
+    ("b", "r1", "c"),
+    ("b", "r2", "d"),
+    ("c", "r1", "d"),
+    ("d", "r1", "a"),
+    ("d", "r2", "e"),
+    ("e", "r1", "a"),
+    ("c", "r2", "e"),
+]
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(TINY_TRIPLES, ["s", "p", "o"])
+
+
+@pytest.fixture(scope="module")
+def tiny_ids(spark, tiny):
+    e_dim = encode.entity_dim(tiny)
+    r_dim = encode.relation_dim(tiny)
+    ids = encode.encode_triples(tiny, e_dim, r_dim)
+    return e_dim, r_dim, ids
+
+
+# --- encode -----------------------------------------------------------------
+
+
+def test_encode_roundtrip(spark, tiny, tiny_ids):
+    e_dim, r_dim, ids = tiny_ids
+    assert e_dim.count() == 5 and r_dim.count() == 2
+    assert ids.count() == len(TINY_TRIPLES)
+    # dense contiguous ids
+    got = sorted(r["id"] for r in e_dim.collect())
+    assert got == [0, 1, 2, 3, 4]
+    # decode back
+    back = (
+        ids.join(e_dim.select(F.col("id").alias("h"), F.col("name").alias("s")), "h")
+        .join(e_dim.select(F.col("id").alias("t"), F.col("name").alias("o")), "t")
+        .join(r_dim.select(F.col("id").alias("r"), F.col("name").alias("p")), "r")
+        .select("s", "p", "o")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(TINY_TRIPLES)
+
+
+def test_vocab_filter_and_unk(spark, tiny):
+    e_dim, r_dim = encode.entity_dim(tiny), encode.relation_dim(tiny)
+    extra = spark.createDataFrame(
+        [("a", "r1", "zz"), ("a", "r9", "b"), ("a", "r1", "b")], ["s", "p", "o"]
+    )
+    kept = encode.vocab_filter(extra, e_dim, r_dim).collect()
+    assert [tuple(r) for r in kept] == [("a", "r1", "b")]
+    unked = {
+        (r["s"], r["p"], r["o"])
+        for r in encode.replace_unk(extra, e_dim, r_dim).collect()
+    }
+    assert ("a", "r1", "UNKENT") in unked and ("a", "UNKREL", "b") in unked
+
+
+# --- adjacency / subgraphs --------------------------------------------------
+
+
+def test_adjacency_weights(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    adj = graph.build_adjacency(ids)
+    w = {(r["src"], r["dst"]): (r["n_rels"], r["w"]) for r in graph.weighted_edges(adj).collect()}
+    # entity ids are lexicographic: a=0 b=1 c=2 d=3 e=4
+    assert w[(0, 1)][0] == 2 and w[(0, 2)][0] == 1
+    assert w[(0, 1)][1] == pytest.approx(2 / 3)
+    assert w[(0, 2)][1] == pytest.approx(1 / 3)
+    total_out_a = sum(v[1] for (s, _), v in w.items() if s == 0)
+    assert total_out_a == pytest.approx(1.0)
+
+
+def test_reach_depth(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    adj = graph.build_adjacency(ids)
+    cores = spark.createDataFrame([(0,)], ["core"])
+    reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+    depths = {r["node"]: r["depth"] for r in reach.collect()}
+    # a=0 -> b,c at 1; d,e at 2 (b->d, c->e)
+    assert depths == {0: 0, 1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_subgraph_degrees(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    adj = graph.build_adjacency(ids)
+    edges_w = graph.weighted_edges(adj)
+    cores = spark.createDataFrame([(0,)], ["core"])
+    reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+    sg = graph.subgraph_edges(edges_w, reach, depth=4)
+    deg = {
+        r["node"]: (r["in_deg"], r["out_deg"])
+        for r in graph.subgraph_degrees(sg).collect()
+    }
+    # full graph is within 4 hops of a; distinct-neighbor degrees
+    assert deg[0] == (2, 2)  # d->a, e->a in; a->b, a->c out
+    assert deg[1] == (1, 2)  # a->b; b->c, b->d
+
+
+# --- threshold scan ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+def test_best_threshold_matches_reference_scan(spark, ascending):
+    rng = random.Random(7)
+    rows = []
+    expected = {}
+    for g in range(6):
+        n = rng.randint(1, 25)
+        pairs = [
+            (round(rng.random() * 4, 3) if rng.random() > 0.2 else 1.5,  # force ties
+             1 if rng.random() < 0.5 else -1)
+            for _ in range(n)
+        ]
+        expected[g] = best_threshold_oracle(pairs, ascending)
+        rows += [(g, s, f, i) for i, (s, f) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, ["grp", "score", "flag", "seq"])
+    got = {
+        r["grp"]: r["threshold"]
+        for r in best_threshold(df, "grp", ascending=ascending).collect()
+    }
+    for g, th in expected.items():
+        assert got[g] == pytest.approx(th, abs=1e-9), f"group {g}"
+
+
+# --- pagerank ---------------------------------------------------------------
+
+
+def test_pagerank_grouped_matches_reference_fixpoint(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    adj = graph.build_adjacency(ids)
+    edges_w = graph.weighted_edges(adj)
+    cores = spark.createDataFrame([(0,), (2,)], ["core"])
+    reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+    sg = graph.subgraph_edges(edges_w, reach, depth=4)
+    nodes = graph.subgraph_nodes(sg, cores)
+    patched = pagerank.patched_edges(sg, nodes)
+    got = {
+        (r["core"], r["node"]): r["pr"]
+        for r in pagerank.pagerank_grouped(patched).collect()
+    }
+    for core in (0, 2):
+        e = {
+            (r["src"], r["dst"]): r["w"]
+            for r in sg.filter(F.col("core") == core).collect()
+        }
+        ns = sorted({n for p in e for n in p} | {core})
+        want = pagerank_oracle(e, ns, core)
+        for n, pr_val in want.items():
+            assert got[(core, n)] == pytest.approx(pr_val, abs=2e-4), (core, n)
+
+
+def test_pagerank_iterative_agrees_with_grouped(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    adj = graph.build_adjacency(ids)
+    edges_w = graph.weighted_edges(adj)
+    cores = spark.createDataFrame([(1,)], ["core"])
+    reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+    sg = graph.subgraph_edges(edges_w, reach, depth=4)
+    nodes = graph.subgraph_nodes(sg, cores)
+    patched = pagerank.patched_edges(sg, nodes)
+    # fixed 20-iteration budget on BOTH implementations -> identical Jacobi
+    # trajectories (min_delta=0 disables early stop), exact agreement.
+    a = {
+        (r["core"], r["node"]): r["pr"]
+        for r in pagerank.pagerank_grouped(patched, max_iter=20, min_delta=0.0).collect()
+    }
+    b = {
+        (r["core"], r["node"]): r["pr"]
+        for r in pagerank.pagerank_iterative(
+            patched, nodes, max_iter=20, min_delta=0.0, checkpoint_every=2
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-9)
+
+
+# --- paths ------------------------------------------------------------------
+
+
+def _adj_dict(ids_rows):
+    adj: dict = {}
+    for h, r, t in ids_rows:
+        adj.setdefault(h, {}).setdefault(t, []).append(r)
+    return adj
+
+
+def test_enumerate_paths_matches_reference_dfs(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    rows = [(r["h"], r["r"], r["t"]) for r in ids.collect()]
+    adj_py = _adj_dict(rows)
+    adj = graph.build_adjacency(ids)
+    seeds = spark.createDataFrame([(0,), (3,)], ["h"])
+    got = paths.enumerate_paths(paths.exploded_edges(adj), seeds)
+    got_sets: dict = {0: set(), 3: set()}
+    for r in got.collect():
+        path = tuple(zip(r["ph"], r["pt"], r["pr"]))
+        got_sets[r["h"]].add(path)
+        assert r["t"] == r["pt"][-1] and r["len"] == len(path)
+    for h in (0, 3):
+        assert got_sets[h] == searchpath_oracle(adj_py, h, depth=4)
+
+
+def test_path_ranking_matches_reference(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    rows = [(r["h"], r["r"], r["t"]) for r in ids.collect()]
+    rng = np.random.default_rng(3)
+    ent = rng.normal(size=(5, 8)).astype(np.float64)
+    rel = rng.normal(size=(2, 8)).astype(np.float64)
+    adj = graph.build_adjacency(ids)
+    seeds = spark.createDataFrame([(0,)], ["h"])
+    cand = paths.enumerate_paths(paths.exploded_edges(adj), seeds)
+    queries = spark.createDataFrame([(0, 3, 0)], ["h", "t", "r"])  # a -r1-> d
+    udf = paths.path_score_udf(spark, ent, rel)
+    ranked = paths.ranked_paths(cand, queries, udf).orderBy("line").collect()
+    # oracle
+    all_paths = [p for p in searchpath_oracle(_adj_dict(rows), 0, depth=4) if p[-1][1] == 3]
+    want = path_rank_oracle(all_paths, ent, rel, 0, 3, 0)
+    want_nontrivial = [(sd, p) for sd, p in want if p != ((0, 3, 0),)][:51]
+    assert len(ranked) == len(want_nontrivial)
+    got_scores = [r["score"] for r in ranked]
+    assert got_scores == sorted(got_scores, reverse=True)
+    for r, (sd, _) in zip(ranked, want_nontrivial):
+        assert r["score"] == pytest.approx(sd, abs=1e-9)
+
+
+# --- transe / negatives -----------------------------------------------------
+
+
+def test_transe_energy_matches_numpy(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    ent, rel = transe.fit_embeddings_from_df(ids, 5, 2, seed=1, epochs=3)
+    udf = transe.transe_energy_col(spark, ent, rel)
+    got = transe.add_transe_energy(ids, udf).collect()
+    for r in got:
+        want = np.linalg.norm(
+            ent[r["h"]].astype(np.float64)
+            + rel[r["r"]].astype(np.float64)
+            - ent[r["t"]].astype(np.float64)
+        )
+        assert r["energy"] == pytest.approx(float(want), rel=1e-6)
+
+
+def test_tc_pairs_ids_validity(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    pairs = negatives.tc_pairs_ids(ids, 5, seed=5)
+    rows = pairs.collect()
+    assert len(rows) == 2 * len(TINY_TRIPLES)
+    pos = {(r["h"], r["r"], r["t"]) for r in rows if r["flag"] == 1}
+    assert pos == {(r["h"], r["r"], r["t"]) for r in ids.collect()}
+    orig = {(r["h"], r["r"], r["t"]) for r in ids.collect()}
+    for r in rows:
+        if r["flag"] == -1:
+            # corrupted on exactly one side, with a valid entity id
+            assert 0 <= r["h"] < 5 and 0 <= r["t"] < 5
+            assert (r["h"], r["r"], r["t"]) not in orig or True  # may collide by chance
+    # deterministic across runs
+    again = {tuple(r) for r in negatives.tc_pairs_ids(ids, 5, seed=5).collect()}
+    assert again == {tuple(r) for r in rows}
+
+
+def test_rr_confidence_defaults(spark):
+    ranks = spark.createDataFrame([(0, 1, 0.4)], ["core", "node", "pr"])
+    th = spark.createDataFrame([(0, 0.3)], ["h", "rr_threshold"])
+    pairs = spark.createDataFrame(
+        [(0, 1, 0, 1, 0), (0, 4, 0, -1, 1), (9, 1, 0, 1, 2)],
+        ["h", "t", "r", "flag", "seq"],
+    )
+    got = {(r["h"], r["t"]): r["rr_conf"] for r in rrank.rr_confidence(pairs, ranks, th).collect()}
+    assert got[(0, 1)] == pytest.approx(1 / (1 + np.exp(-25 * (0.4 - 0.3))))
+    assert got[(0, 4)] == 0.001  # tail outside subgraph
+    assert got[(9, 1)] == 0.001  # head has no subgraph rank entry
+
+
+def test_kgc_candidates(spark, tiny_ids):
+    _, _, ids = tiny_ids
+    from ttmf_spark.kg.negatives import kgc_candidates
+
+    out = kgc_candidates(ids, "t", pool_size=5, incorrect_count=5, seed=23)
+    rows = out.collect()
+    # one group per distinct (h, r); 6 rows each (5 fills + truth)
+    n_groups = ids.select("h", "r").distinct().count()
+    assert len(rows) == 6 * n_groups
+    assert all(r["flag"] == 1 and 0 <= r["t"] < 5 for r in rows)
+    # deterministic
+    again = kgc_candidates(ids, "t", pool_size=5, incorrect_count=5, seed=23)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_ptranse_trainer_shapes_and_determinism():
+    from ttmf_spark.kg.transe import train_ptranse
+
+    tri = np.array([[0, 0, 1], [1, 1, 2], [2, 0, 3]], dtype=np.int64)
+    e1, r1 = train_ptranse(tri, 4, 2, dim=8, epochs=2, seed=9)
+    e2, r2 = train_ptranse(tri, 4, 2, dim=8, epochs=2, seed=9)
+    assert e1.shape == (4, 8) and r1.shape == (2, 8)
+    assert np.array_equal(e1, e2) and np.array_equal(r1, r2)
+    assert np.isfinite(e1).all() and np.isfinite(r1).all()
+
+
+def test_dev_hinge_loss(spark):
+    from ttmf_spark.kg.transe import dev_hinge_loss
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 0, 1.0),   # pos k=0, energy 1.0
+            (-1, 1, 3.0),  # neg k=0, energy 3.0 -> hinge max(1+1-3,0)=0
+            (1, 2, 2.0),   # pos k=1
+            (-1, 3, 2.5),  # neg k=1 -> max(1+2-2.5,0)=0.5
+        ],
+        ["flag", "seq", "energy"],
+    )
+    got = dev_hinge_loss(pairs).collect()[0]["dev_loss"]
+    assert got == pytest.approx(0.25)

@@ -1,0 +1,109 @@
+"""End-to-end TTMF scoring + checkpoint/resume + evaluation tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_kg import TINY_TRIPLES
+from ttmf_spark.checkpoint import StageStore, anti_join_resume
+from ttmf_spark.kg import evaluate
+from ttmf_spark.kg.pipeline import lowest_confidence, score_triples
+
+
+@pytest.fixture(scope="module")
+def tiny2(spark):
+    return spark.createDataFrame(TINY_TRIPLES, ["s", "p", "o"])
+
+
+def test_score_triples_end_to_end(spark, tiny2):
+    scored, model = score_triples(
+        spark, tiny2, kind="logistic", transe_kw={"epochs": 3}
+    )
+    rows = scored.collect()
+    assert len(rows) == len(TINY_TRIPLES)
+    assert {(r["s"], r["p"], r["o"]) for r in rows} == set(TINY_TRIPLES)
+    for r in rows:
+        assert 0.0 <= r["conf"] <= 1.0
+        assert len(r["rr_features"]) == 6
+    # error report: bottom-k ordering
+    bottom = lowest_confidence(scored, k=3).collect()
+    confs = [r["conf"] for r in bottom]
+    assert confs == sorted(confs) and len(bottom) == 3
+
+
+def test_scored_positives_above_corrupted(spark, tiny2):
+    """Fused confidence separates true triples from corrupted ones on
+    average (the reference's accuracy printouts are this check's analogue)."""
+    from ttmf_spark.kg import encode, negatives
+    from ttmf_spark.kg.pipeline import build_context, fit_fusion, score_ids
+
+    ctx, model = build_context(spark, tiny2, transe_kw={"epochs": 20})
+    model = fit_fusion(ctx, model, kind="logistic")
+    pairs = ctx.dev_pairs
+    scored = score_ids(spark, ctx, model, pairs.select("h", "r", "t", "flag"))
+    pdf = scored.select("flag", "conf").toPandas()
+    pos = pdf[pdf.flag == 1]["conf"].mean()
+    neg = pdf[pdf.flag == -1]["conf"].mean()
+    assert pos > neg, (pos, neg)
+
+
+def test_stage_store_resume(spark, tiny2, tmp_path):
+    store = StageStore(str(tmp_path / "ck"))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return tiny2
+
+    df1 = store.materialize(spark, "s1", build)
+    assert calls["n"] == 1 and df1.count() == len(TINY_TRIPLES)
+    df2 = store.materialize(spark, "s1", build)  # resume: no rebuild
+    assert calls["n"] == 1 and df2.count() == len(TINY_TRIPLES)
+    store.materialize(spark, "s1", build, force=True)
+    assert calls["n"] == 2
+    # metrics log exists with one line per build
+    lines = (tmp_path / "ck" / "_metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+
+
+def test_anti_join_resume(spark, tiny2):
+    done = tiny2.limit(4)
+    remaining = anti_join_resume(tiny2, done, ["s", "p", "o"])
+    assert remaining.count() == len(TINY_TRIPLES) - 4
+
+
+def test_pr_sweep_matches_loop_oracle(spark):
+    rows = [(0.1 * i, 1 if i % 3 == 0 else -1) for i in range(11)]
+    df = spark.createDataFrame(rows, ["conf", "flag"])
+    got = {r["threshold"]: r for r in evaluate.pr_sweep(df).collect()}
+    # loop oracle (Model1.py:543-586 semantics)
+    for th in (0.01, 0.51, 0.99):
+        tp = sum(1.0 for c, f in rows if c >= th and f == 1)
+        pred = sum(1.0 for c, f in rows if c >= th)
+        pos = sum(1.0 for c, f in rows if f == 1)
+        p, r = tp / (pred + 1e-5), tp / (pos + 1e-5)
+        assert got[th]["precision"] == pytest.approx(p, abs=1e-9)
+        assert got[th]["recall"] == pytest.approx(r, abs=1e-9)
+        assert got[th]["f1"] == pytest.approx(2 * p * r / (p + r + 1e-5), abs=1e-9)
+
+
+def test_link_prediction_ranks(spark):
+    # query (0, 0): candidates 1..4, truth t=2 ranked by conf desc
+    cands = spark.createDataFrame(
+        [
+            (0, 0, 1, 0.9, False),
+            (0, 0, 2, 0.8, True),
+            (0, 0, 3, 0.7, False),
+            (0, 0, 4, 0.6, False),
+        ],
+        ["h", "r", "t", "conf", "is_true"],
+    )
+    raw = evaluate.link_prediction_ranks(cands).collect()
+    assert raw[0]["rank"] == 2
+    gold = spark.createDataFrame([(0, 0, 1)], ["h", "r", "t"])
+    filt = evaluate.link_prediction_ranks(cands, gold).collect()
+    assert filt[0]["rank"] == 1  # gold corruption excluded
+    m = evaluate.rank_metrics(evaluate.link_prediction_ranks(cands)).collect()[0]
+    assert m["hits10"] == 1.0 and m["mean_rank"] == 2.0

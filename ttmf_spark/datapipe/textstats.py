@@ -1,0 +1,114 @@
+"""Text analysis operators over `documents(doc_id, text, lang, source,
+n_chars)`: token counting, quality scoring, language ID, fingerprinting.
+
+Everything is built-in column expressions — no UDFs, fully
+codegen/pushdown friendly; each has an exact DuckDB oracle
+(ttmf_spark.oracles) because the semantics are defined in portable SQL
+terms (split/regexp/length/md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword lexicon (top function words per language) for the
+# n-gram/stopword language-ID heuristic; deliberately small + deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de5", "shi4", "he2", "zai4", "le5"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["in", "is", "it", "for", "on"]
+
+
+def _tokens(col):
+    """Whitespace tokenization of lowercased text (empty tokens dropped)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword-unit count.
+
+    ``n_tokens``: whitespace tokens. ``n_subwords``: count of maximal
+    letter-runs, digit-runs, and single non-alphanumeric marks — the
+    greedy pre-tokenization regex most BPE vocabularies start from.
+    """
+    subs = F.size(
+        F.expr(rf"regexp_extract_all({text_col}, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])', 1)")
+    )
+    return docs.withColumn("n_tokens", F.size(_tokens(F.col(text_col)))).withColumn(
+        "n_subwords", subs
+    )
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + fused score in [0, 1]:
+
+    - len_score: saturating length ratio min(n_chars/500, 1)
+    - stop_ratio: fraction of tokens that are English stopwords
+    - punct_ratio: punctuation chars / chars
+    - mean_token_len
+    score = 0.4*len_score + 0.4*min(stop_ratio*5, 1) + 0.2*(1 - min(punct_ratio*10, 1))
+    """
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_tok = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.withColumn("len_score", len_score)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("mean_token_len", mean_tok)
+        .withColumn(
+            "quality",
+            0.4 * F.col("len_score")
+            + 0.4 * F.least(F.col("stop_ratio") * 5.0, F.lit(1.0))
+            + 0.2 * (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))),
+        )
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: count marker hits per language, argmax
+    (ties -> lexicographically first language code); 'und' when no marker
+    hits at all."""
+    toks = _tokens(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("n"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct(n desc, lang) — invert lang ordering by taking
+    # max over (n, negated?) — simpler: reduce with explicit comparison
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).alias("n"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["n"] > acc["n"], s).otherwise(acc),
+    )
+    return docs.withColumn(
+        "lang_pred", F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercased text (portable across engines — exact DuckDB oracle)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return docs.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,139 @@
+"""Dictionary building + id encoding (reference `get_triples/process_triples.py`).
+
+Reference semantics re-expressed:
+
+- ``entity2id``/``relation2id``: dense contiguous ids over the *train* vocab
+  (reference builds ``{v: i for i, v in enumerate(set(...))}`` —
+  process_triples.py:83-84 — whose order is Python-set iteration order; we
+  make the id assignment deterministic by ordering on name. Ids are dense
+  0..n-1 either way; all downstream semantics are id-order-independent).
+- encoded splits keep named columns (h, r, t); the reference's positional
+  (h, t, r) column order (process_triples.py:19 ``df[[0, 2, 1]]``) is a
+  serialization artifact we reproduce only in fixture adapters.
+- vocab-membership filter + UNK sentinel replacement
+  (get_triples/train_test_split.py:15-19,45-48).
+
+Scale notes: dictionaries are dim-sized (#distinct entities), so encoding
+is a broadcast join against the triple stream — the 10^12-row fact side
+never shuffles. Dense-id assignment uses a single global sort of the dim
+table (zipWithIndex-free: row_number over an empty-frame window is fine at
+dim scale; the fact table is untouched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UNK_ENT = "UNKENT"
+UNK_REL = "UNKREL"
+
+
+def entity_dim(train: DataFrame) -> DataFrame:
+    """Distinct train entities -> (name, id) with dense ids 0..n-1.
+
+    Reference: process_triples.py:83 ``set(train[0]) | set(train[2])``.
+    """
+    names = (
+        train.select(F.col("s").alias("name"))
+        .unionByName(train.select(F.col("o").alias("name")))
+        .distinct()
+    )
+    w = Window.orderBy("name")
+    return names.withColumn("id", F.row_number().over(w) - F.lit(1).cast("int")).select(
+        "name", F.col("id").cast("long").alias("id")
+    )
+
+
+def relation_dim(train: DataFrame) -> DataFrame:
+    """Distinct train relations -> (name, id). Reference: process_triples.py:84."""
+    names = train.select(F.col("p").alias("name")).distinct()
+    w = Window.orderBy("name")
+    return names.withColumn("id", F.row_number().over(w) - F.lit(1).cast("int")).select(
+        "name", F.col("id").cast("long").alias("id")
+    )
+
+
+def encode_triples(
+    triples: DataFrame, ent_dim: DataFrame, rel_dim: DataFrame, keep_unmapped: bool = False
+) -> DataFrame:
+    """(s, p, o) strings -> (h, r, t) long ids via broadcast dim joins.
+
+    Reference: map_dataset (process_triples.py:18-24). Unmapped names become
+    NULL ids (reference pandas ``.map`` -> NaN); dropped unless
+    ``keep_unmapped`` (the reference never writes NaN rows on the main path
+    because inputs are pre-filtered by train_test_split).
+    """
+    e_h = F.broadcast(ent_dim.select(F.col("name").alias("s"), F.col("id").alias("h")))
+    e_t = F.broadcast(ent_dim.select(F.col("name").alias("o"), F.col("id").alias("t")))
+    r_r = F.broadcast(rel_dim.select(F.col("name").alias("p"), F.col("id").alias("r")))
+    out = (
+        triples.join(e_h, "s", "left")
+        .join(r_r, "p", "left")
+        .join(e_t, "o", "left")
+        .select("h", "r", "t")
+    )
+    if not keep_unmapped:
+        out = out.filter(
+            F.col("h").isNotNull() & F.col("r").isNotNull() & F.col("t").isNotNull()
+        )
+    return out
+
+
+def vocab_filter(triples: DataFrame, ent_dim: DataFrame, rel_dim: DataFrame) -> DataFrame:
+    """Keep (s, p, o) whose s, o are known entities and p a known relation.
+
+    Reference: triple_is_in (get_triples/train_test_split.py:18-19) — two
+    entity semi-joins + one relation semi-join, all broadcast.
+    """
+    ents = F.broadcast(ent_dim.select("name"))
+    rels = F.broadcast(rel_dim.select("name"))
+    return (
+        triples.join(ents.withColumnRenamed("name", "s"), "s", "left_semi")
+        .join(ents.withColumnRenamed("name", "o"), "o", "left_semi")
+        .join(rels.withColumnRenamed("name", "p"), "p", "left_semi")
+        .select(*triples.columns)
+    )
+
+
+def replace_unk(triples: DataFrame, ent_dim: DataFrame, rel_dim: DataFrame) -> DataFrame:
+    """Out-of-vocab s/o -> UNKENT, p -> UNKREL.
+
+    Reference: replace_with_unk (get_triples/train_test_split.py:15-17,45-48).
+    """
+    e = F.broadcast(ent_dim.select(F.col("name"), F.lit(True).alias("_ke")))
+    r = F.broadcast(rel_dim.select(F.col("name"), F.lit(True).alias("_kr")))
+    out = triples
+    for c, dim, flag, unk in (("s", e, "_ke", UNK_ENT), ("o", e, "_ke", UNK_ENT), ("p", r, "_kr", UNK_REL)):
+        d = dim.withColumnRenamed("name", c)
+        out = (
+            out.join(d, c, "left")
+            .withColumn(c, F.when(F.col(flag).isNull(), F.lit(unk)).otherwise(F.col(c)))
+            .drop(flag)
+        )
+    return out.select(*triples.columns)
+
+
+def train_dev_test_split(
+    triples: DataFrame,
+    train_frac: float = 0.8,
+    dev_frac: float = 0.5,
+    seed: int = 628,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Deterministic split; dev/test filtered to the train vocabulary.
+
+    Reference: get_triples/train_test_split.py:33-40 (sklearn split, seed
+    628, then triple_is_in on test). We derive the split from a hash of the
+    row content (xxhash64) instead of a driver-side shuffle — deterministic,
+    shuffle-free, and stable under repartitioning at any scale.
+    """
+    u = (F.pmod(F.xxhash64("s", "p", "o", F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
+    tagged = triples.withColumn("_u", u)
+    train = tagged.filter(F.col("_u") < train_frac).drop("_u")
+    rest = tagged.filter(F.col("_u") >= train_frac)
+    e_dim, r_dim = entity_dim(train), relation_dim(train)
+    rest = vocab_filter(rest, e_dim, r_dim)
+    cut = train_frac + (1.0 - train_frac) * dev_frac
+    dev = rest.filter(F.col("_u") < cut).drop("_u")
+    test = rest.filter(F.col("_u") >= cut).drop("_u")
+    return train, dev, test

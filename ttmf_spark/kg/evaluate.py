@@ -1,0 +1,94 @@
+"""Evaluation operators (reference `Model1.py` test harness + `find_errors.py`).
+
+- classification_accuracy (A8, Model1.py:478-498): fraction of labeled
+  pairs on the right side of conf = 0.5 (argmax of the 2-way softmax).
+- pr_sweep (A9, Model1.py:543-586): P/R/F over thresholds 0.01..1.0 step
+  0.02 in ONE pass — the reference loops over the result list 50 times;
+  we cross-join 50 threshold literals against per-row flags and aggregate
+  (tiny fan-out, single shuffle).
+- link_prediction_ranks (W4, Model1.py:658-741): rank of the true tail
+  among all candidate corruptions by descending confidence; raw and
+  filtered (gold corruptions excluded via anti-join J7); Hits@k + mean
+  rank per variant.
+- error_report: find_errors.py P5/W5 — see pipeline.lowest_confidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def classification_accuracy(scored_pairs: DataFrame) -> DataFrame:
+    """(conf, flag) -> single-row accuracy: tag = conf >= 0.5 vs flag."""
+    return scored_pairs.agg(
+        F.avg(
+            F.when(
+                ((F.col("conf") >= 0.5) & (F.col("flag") == 1))
+                | ((F.col("conf") < 0.5) & (F.col("flag") == -1)),
+                1.0,
+            ).otherwise(0.0)
+        ).alias("accuracy"),
+        F.count("*").alias("n"),
+    )
+
+
+def pr_sweep(
+    scored_pairs: DataFrame, start: float = 0.01, stop: float = 1.0, step: float = 0.02
+) -> DataFrame:
+    """(conf, flag) -> (threshold, precision, recall, f1) per threshold.
+
+    Reference epsilon guards preserved: denominators carry +1e-5 seeds
+    (Model1.py:556-557) and F adds +1e-5 (Model1.py:574).
+    """
+    spark = scored_pairs.sparkSession
+    ths = [round(start + i * step, 6) for i in range(int((stop - start) / step) + 1)]
+    th_df = spark.createDataFrame([(t,) for t in ths], ["threshold"])
+    joined = scored_pairs.select("conf", "flag").crossJoin(F.broadcast(th_df))
+    agg = joined.groupBy("threshold").agg(
+        F.sum(F.when((F.col("conf") >= F.col("threshold")) & (F.col("flag") == 1), 1.0).otherwise(0.0)).alias("tp"),
+        F.sum(F.when(F.col("conf") >= F.col("threshold"), 1.0).otherwise(0.0)).alias("pred_pos"),
+        F.sum(F.when(F.col("flag") == 1, 1.0).otherwise(0.0)).alias("pos"),
+    )
+    p = F.col("tp") / (F.col("pred_pos") + 1e-5)
+    r = F.col("tp") / (F.col("pos") + 1e-5)
+    return agg.select(
+        "threshold",
+        p.alias("precision"),
+        r.alias("recall"),
+        (2 * p * r / (p + r + 1e-5)).alias("f1"),
+    ).orderBy("threshold")
+
+
+def link_prediction_ranks(
+    scored_candidates: DataFrame,
+    gold: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate sets (h, r, t, conf, is_true) -> per-query rank of truth.
+
+    ``scored_candidates``: for each (h, r) query, all candidate tails with
+    confidence and an ``is_true`` marker. ``gold``: known-true (h, r, t)
+    triples to exclude (filtered ranking, J7); pass None for raw.
+    Returns (h, r, rank).
+    """
+    cands = scored_candidates
+    if gold is not None:
+        known = gold.select("h", "r", "t").withColumn("_gold", F.lit(True))
+        cands = (
+            cands.join(known, ["h", "r", "t"], "left")
+            .filter(F.col("is_true") | F.col("_gold").isNull())
+            .drop("_gold")
+        )
+    w = Window.partitionBy("h", "r").orderBy(F.col("conf").desc(), F.col("t").asc())
+    ranked = cands.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(F.col("is_true")).select("h", "r", "rank")
+
+
+def rank_metrics(ranks: DataFrame) -> DataFrame:
+    """(rank) -> hits@1, hits@10, mean rank, MRR (one row)."""
+    return ranks.agg(
+        F.avg(F.when(F.col("rank") <= 1, 1.0).otherwise(0.0)).alias("hits1"),
+        F.avg(F.when(F.col("rank") <= 10, 1.0).otherwise(0.0)).alias("hits10"),
+        F.avg(F.col("rank").cast("double")).alias("mean_rank"),
+        F.avg(1.0 / F.col("rank")).alias("mrr"),
+    )

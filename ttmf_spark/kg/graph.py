@@ -1,0 +1,150 @@
+"""Adjacency + 4-hop subgraph extraction (reference `search.py`) and
+per-subgraph degree/depth features (reference `ResourceRankConfidence.py`).
+
+Reference semantics, re-expressed cleanly:
+
+- Adjacency: parallel (src, dst) edges collapse to one edge with raw
+  weight = #relations between the pair (search.py:22-28,48).
+- Edge weight normalization: the reference divides each out-edge of a node
+  by the total raw weight the node's first DFS visit added
+  (search.py:58-60) — at first visit that is the node's *entire* raw
+  out-weight, so the clean, traversal-order-free semantics is
+  ``w(src,dst) = n_rels(src,dst) / sum_dst' n_rels(src,dst')`` — a single
+  global window, computed once for all cores (the reference recomputes it
+  inside every per-core DFS). Cycle-induced revisit artifacts of the
+  reference DFS (SURVEY.md A4) are deliberately not reproduced; fixtures
+  pin the clean rule.
+- Subgraph membership: DFS from the core with depth=4 (search.py:76)
+  expands nodes at hop distance 0..3 and emits all their out-edges, i.e.
+  ``edges(core) = {(u, v) in E : dist(core, u) <= depth-1}``. We compute
+  the reach set for ALL cores simultaneously with `depth` rounds of
+  frontier equi-joins — the reference's per-core process fan-out
+  (search.py:129-137) becomes hash partitioning on `core`.
+- BFS depth labels (ResourceRankConfidence.py:238-255): hop distance from
+  the core — free from the same frontier iteration (round of first
+  discovery).
+- Degrees (ResourceRankConfidence.py:232-236): distinct-neighbor in/out
+  degree *within the subgraph* (pygraph collapses parallel edges).
+
+Scale notes: each join round is an equi-join on `node == src`; hub
+entities make the frontier skewed, so rounds run with AQE skew-join
+splitting plus an optional salted join for the pathological case. The
+frontier is `distinct`-ed each round (set semantics) which also bounds
+growth; lineage is truncated per round via localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_DEPTH = 4  # reference search.py:76 (DFS depth=4)
+
+
+def build_adjacency(id_triples: DataFrame) -> DataFrame:
+    """(h, r, t) -> collapsed edges (src, dst, rels array<long>, n_rels).
+
+    Reference ReadAllTriples (search.py:14-34): {h: {t: [r, ...]}}.
+    ``rels`` keeps the parallel relation list (needed by path enumeration);
+    ``n_rels`` is the raw edge weight (search.py:48 wt=len(sequence[key])).
+    """
+    return (
+        id_triples.groupBy(F.col("h").alias("src"), F.col("t").alias("dst"))
+        .agg(
+            F.sort_array(F.collect_list("r")).alias("rels"),
+            F.count("r").alias("n_rels"),
+        )
+    )
+
+
+def weighted_edges(adjacency: DataFrame) -> DataFrame:
+    """Add the out-normalized weight w = n_rels / sum(n_rels) per src."""
+    w = Window.partitionBy("src")
+    return adjacency.withColumn(
+        "w", (F.col("n_rels") / F.sum("n_rels").over(w)).cast("double")
+    )
+
+
+def reach_sets(
+    edges: DataFrame,
+    cores: DataFrame,
+    depth: int = DEFAULT_DEPTH,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """All-cores BFS: (core, node, depth) with depth = hop distance <= depth.
+
+    ``cores`` is a one-column DataFrame (``core``). Runs `depth` rounds of
+    frontier x edges equi-joins; every round the frontier is reduced to
+    newly-discovered (core, node) pairs via left_anti against the visited
+    set (min-depth semantics come free: first discovery is the BFS round).
+    """
+    slim = edges.select("src", "dst")
+    visited = cores.select(F.col("core"), F.col("core").alias("node")).withColumn(
+        "depth", F.lit(0)
+    )
+    if checkpoint:
+        visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.join(slim, frontier.node == slim.src)
+            .select("core", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("core", "node"), ["core", "node"], "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+        if checkpoint:
+            visited = visited.localCheckpoint(eager=True)
+    return visited
+
+
+def subgraph_edges(
+    edges_w: DataFrame, reach: DataFrame, depth: int = DEFAULT_DEPTH
+) -> DataFrame:
+    """(core, src, dst, w): out-edges of every node within depth-1 of core.
+
+    Equivalent of the reference's per-core subGraphs_4/<e>.txt files
+    (search.py:78-86) as ONE table — eliminates the million-small-files
+    pattern (SURVEY.md S5).
+    """
+    inner = reach.filter(F.col("depth") <= depth - 1).select(
+        "core", F.col("node").alias("src")
+    )
+    return inner.join(edges_w.select("src", "dst", "w"), "src").select(
+        "core", "src", "dst", "w"
+    )
+
+
+def subgraph_nodes(sg_edges: DataFrame, cores: DataFrame) -> DataFrame:
+    """Node set of each subgraph: endpoints of subgraph edges + the core."""
+    return (
+        sg_edges.select("core", F.col("src").alias("node"))
+        .unionByName(sg_edges.select("core", F.col("dst").alias("node")))
+        .unionByName(cores.select("core", F.col("core").alias("node")))
+        .distinct()
+    )
+
+
+def subgraph_degrees(sg_edges: DataFrame) -> DataFrame:
+    """Distinct-neighbor in/out degree per (core, node).
+
+    Reference rudu/chudu (ResourceRankConfidence.py:232-236); missing
+    degree = 0 (node with no in- or out-edges in the subgraph).
+    """
+    outd = sg_edges.groupBy("core", F.col("src").alias("node")).agg(
+        F.count_distinct("dst").alias("out_deg")
+    )
+    ind = sg_edges.groupBy("core", F.col("dst").alias("node")).agg(
+        F.count_distinct("src").alias("in_deg")
+    )
+    return outd.join(ind, ["core", "node"], "full").select(
+        "core",
+        "node",
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+    )

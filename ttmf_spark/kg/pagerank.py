@@ -1,0 +1,191 @@
+"""Personalized weighted PageRank per core subgraph (reference `pagerank.py`).
+
+Reference semantics (pagerank.py:18-85), preserved exactly up to iteration
+scheme:
+
+- dangling patch: a node with no out-edges in its subgraph gets a self-loop
+  of weight 0.5 and (unless it IS the core) an edge to the core of weight
+  0.5 (pagerank.py:32-44);
+- init: PR(core)=1.0, all others 0.0 (pagerank.py:53-54);
+- update: PR(n) = (1-a)/N + a * sum_in PR(in) * w(in, n), a=0.85
+  (pagerank.py:63-72);
+- stop when sum |delta| < 1e-5 or 500 iterations (pagerank.py:22-24,78-81).
+
+The reference iterates Gauss-Seidel style (in-place dict updates in node
+order — pagerank.py:63-75), which is traversal-order-dependent mid-flight
+but converges to the same linear-system fixpoint PR = aW'PR + (1-a)/N as
+the order-free Jacobi sweep we use; with epsilon=1e-5 both stop within
+epsilon of that fixpoint, so values agree to ~1e-4 (fixture-pinned).
+
+Two implementations:
+
+- ``pagerank_grouped`` (primary): one subgraph per Arrow group via
+  applyInPandas — each 4-hop subgraph is small (the reference holds one in
+  a single process; ~32 GB bound is for 500k-triple graphs,
+  README.md:57), while the number of cores is huge. Parallelism across
+  groups = hash shuffle on `core`; inside a group it's a dense/sparse
+  numpy Jacobi sweep — vectorized, no per-row Python (BASELINE.json).
+  This is the scale path: 10^12-doc graphs mean billions of cores, each a
+  tiny matrix — exactly the "many small problems" shape grouped-map was
+  built for.
+- ``pagerank_iterative`` (reference-shaped alternative, used for
+  cross-checks): all cores advance together through global DataFrame
+  Jacobi rounds; converged cores drop out via a per-core delta agg.
+  Correct but pays a shuffle per iteration — benchmarked slower; kept as
+  the arbitrarily-large-single-subgraph fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85  # pagerank.py:22
+MAX_ITER = 500  # pagerank.py:23
+MIN_DELTA = 1e-5  # pagerank.py:24
+
+PR_SCHEMA = "core long, node long, pr double"
+
+
+def patched_edges(sg_edges: DataFrame, sg_nodes: DataFrame) -> DataFrame:
+    """Apply the dangling-node patch to (core, src, dst, w) edges.
+
+    Dangling = subgraph node with no out-edge (reference pagerank.py:32-44).
+    """
+    dangling = sg_nodes.join(
+        sg_edges.select("core", F.col("src").alias("node")).distinct(),
+        ["core", "node"],
+        "left_anti",
+    )
+    self_loops = dangling.select(
+        "core",
+        F.col("node").alias("src"),
+        F.col("node").alias("dst"),
+        F.lit(0.5).alias("w"),
+    )
+    to_core = dangling.filter(F.col("node") != F.col("core")).select(
+        "core",
+        F.col("node").alias("src"),
+        F.col("core").alias("dst"),
+        F.lit(0.5).alias("w"),
+    )
+    return sg_edges.unionByName(self_loops).unionByName(to_core)
+
+
+def _jacobi(
+    n: int,
+    core_ix: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    damping: float = DAMPING,
+    max_iter: int = MAX_ITER,
+    min_delta: float = MIN_DELTA,
+) -> np.ndarray:
+    pr = np.zeros(n)
+    pr[core_ix] = 1.0
+    dv = (1.0 - damping) / n
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, damping * pr[src] * w)
+        new = contrib + dv
+        if np.abs(new - pr).sum() < min_delta:
+            pr = new
+            break
+        pr = new
+    return pr
+
+
+def pagerank_grouped(
+    patched: DataFrame, max_iter: int = MAX_ITER, min_delta: float = MIN_DELTA
+) -> DataFrame:
+    """(core, src, dst, w) [patched] -> (core, node, pr) via grouped Arrow UDF."""
+
+    def _one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        core = key[0]
+        nodes = np.unique(np.concatenate([pdf["src"].values, pdf["dst"].values, [core]]))
+        ix = {int(v): i for i, v in enumerate(nodes)}
+        src = pdf["src"].map(ix).values.astype(np.int64)
+        dst = pdf["dst"].map(ix).values.astype(np.int64)
+        pr = _jacobi(
+            len(nodes),
+            ix[int(core)],
+            src,
+            dst,
+            pdf["w"].values.astype(np.float64),
+            max_iter=max_iter,
+            min_delta=min_delta,
+        )
+        return pd.DataFrame({"core": core, "node": nodes.astype(np.int64), "pr": pr})
+
+    return patched.groupBy("core").applyInPandas(_one, schema=PR_SCHEMA)
+
+
+def pagerank_iterative(
+    patched: DataFrame,
+    sg_nodes: DataFrame,
+    max_iter: int = MAX_ITER,
+    min_delta: float = MIN_DELTA,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Global DataFrame Jacobi: all cores per round, converged cores retire.
+
+    ``checkpoint_every`` must stay small: each iteration references the
+    previous state twice (contrib + delta join), so the lazy plan DOUBLES
+    per round — localCheckpoint is what keeps analysis cost linear.
+    """
+    # snapshot the (possibly deep) edge lineage ONCE: it is re-joined every
+    # iteration and would otherwise be re-analyzed ~2 x max_iter times
+    patched = patched.localCheckpoint(eager=True)
+    sizes = sg_nodes.groupBy("core").agg(F.count("*").alias("n"))
+    pr = sg_nodes.join(sizes, "core").select(
+        "core",
+        "node",
+        F.when(F.col("node") == F.col("core"), 1.0).otherwise(0.0).alias("pr"),
+        ((1.0 - DAMPING) / F.col("n")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    active = pr
+    done_parts: list[DataFrame] = []
+    for i in range(max_iter):
+        e = patched.join(
+            active.select("core").distinct(), "core", "left_semi"
+        )
+        contrib = (
+            active.select("core", F.col("node").alias("src"), "pr")
+            .join(e, ["core", "src"])
+            .groupBy("core", F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("mass"))
+        )
+        new = (
+            active.select("core", "node", "dv", F.col("pr").alias("pr_old"))
+            .join(contrib, ["core", "node"], "left")
+            .select(
+                "core",
+                "node",
+                (F.coalesce("mass", F.lit(0.0)) * DAMPING + F.col("dv")).alias("pr"),
+                "dv",
+                "pr_old",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            new = new.localCheckpoint(eager=True)
+            deltas = new.groupBy("core").agg(
+                F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta")
+            )
+            finished = deltas.filter(F.col("delta") < min_delta).select("core")
+            done_parts.append(
+                new.join(finished, "core", "left_semi").select("core", "node", "pr")
+            )
+            active = new.join(finished, "core", "left_anti").select(
+                "core", "node", "pr", "dv"
+            ).localCheckpoint(eager=True)
+            if active.isEmpty():
+                break
+        else:
+            active = new.select("core", "node", "pr", "dv")
+    out = active.select("core", "node", "pr")
+    for d in done_parts:
+        out = out.unionByName(d)
+    return out

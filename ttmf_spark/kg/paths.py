@@ -1,0 +1,195 @@
+"""Bounded simple-path enumeration + embedding-similarity ranking
+(reference `SearchPaths2.py`).
+
+Semantics preserved:
+
+- all simple paths of 1..3 edges from head h (depth arg 4 =>
+  3 expansions, SearchPaths2.py:109,51-56), never revisiting a node on the
+  current path and never revisiting h (taillist seeded with the start
+  node, SearchPaths2.py:105);
+- parallel relations multiply paths (one path per relation per hop,
+  SearchPaths2.py:66-78);
+- ranking (Rank, SearchPaths2.py:26-48): per query triple (h, t, r),
+  SD = (sum_i cos(E[h], E[pt_i]) + cos(E[t], E[ph_i]) + cos(R[r], R[pr_i]))
+       / (3 * len)  — query-head vs edge-TAIL, query-tail vs edge-HEAD,
+  exactly as the reference computes it (SURVEY.md G6);
+- emission (SearchPaths2.py:128-137): paths sorted by SD desc; the first
+  51 rank slots are kept and the trivial direct path ((h, t, r),) is
+  dropped *after* slot assignment (it burns a slot); the surviving lines
+  are numbered 1..n — line number topk+1 is what the fusion features
+  consume (PrecessData.py:159-197).
+
+Deviation (documented): the reference breaks SD ties by DFS discovery
+order; we tie-break deterministically on the path content (len, ph, pt,
+pr) so results are stable under any partitioning.
+
+Scale notes: enumeration is 3 chained equi-joins (frontier x edges) —
+exactly the iterative-join shape of SURVEY.md G5; seeds are only the
+heads that appear in labeled pairs (semi-join pushdown), and the final
+output is semi-joined to needed (h, t) pairs before scoring so ranking
+work is proportional to the query set, not the graph. Scoring is one
+Arrow batch UDF with broadcast unit-normalized embedding matrices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+MAX_EDGES = 3  # SearchPaths2.py:109 (depth=4 -> <=3 edges)
+MAX_RANK_SLOTS = 51  # SearchPaths2.py:130-131 (num > 50 breaks)
+MAX_P = 3  # Model1.py:995 (top-3 paths consumed)
+
+
+def exploded_edges(adjacency: DataFrame) -> DataFrame:
+    """(src, dst, rels) -> one row per parallel relation (src, dst, r)."""
+    return adjacency.select("src", "dst", F.explode("rels").alias("r"))
+
+
+def enumerate_paths(
+    edges: DataFrame, seeds: DataFrame, max_edges: int = MAX_EDGES
+) -> DataFrame:
+    """Seeds (h) x edges -> (h, t, ph array, pt array, pr array, len).
+
+    ``edges`` is the exploded (src, dst, r) table. Simple-path constraint:
+    a hop may not land on any node already on the path (including h).
+    """
+    e = edges
+    cur = (
+        seeds.select("h")
+        .distinct()
+        .join(e, F.col("h") == e.src)
+        .filter(F.col("dst") != F.col("h"))
+        .select(
+            "h",
+            F.col("dst").alias("t"),
+            F.array("src").alias("ph"),
+            F.array("dst").alias("pt"),
+            F.array("r").alias("pr"),
+            F.array("h", "dst").alias("_visited"),
+            F.lit(1).alias("len"),
+        )
+    )
+    out = cur
+    for _ in range(1, max_edges):
+        nxt = (
+            cur.join(e, cur.t == e.src)
+            .filter(~F.array_contains(F.col("_visited"), F.col("dst")))
+            .select(
+                "h",
+                F.col("dst").alias("t"),
+                F.concat("ph", F.array("src")).alias("ph"),
+                F.concat("pt", F.array("dst")).alias("pt"),
+                F.concat("pr", F.array("r")).alias("pr"),
+                F.concat("_visited", F.array("dst")).alias("_visited"),
+                (F.col("len") + 1).alias("len"),
+            )
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out.drop("_visited")
+
+
+def path_score_udf(spark, ent: np.ndarray, rel: np.ndarray):
+    """SD scorer over (h, t, r, ph, pt, pr, len) Arrow batches.
+
+    Embeddings are unit-normalized once on the driver so every cosine is a
+    plain dot product; ragged path arrays are flattened with one
+    np.concatenate and reduced with np.add.reduceat — no per-row Python.
+    """
+
+    def _unit(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    b_ent = spark.sparkContext.broadcast(_unit(ent.astype(np.float64)))
+    b_rel = spark.sparkContext.broadcast(_unit(rel.astype(np.float64)))
+
+    @pandas_udf("double")
+    def _score(
+        h: pd.Series, t: pd.Series, r: pd.Series,
+        ph: pd.Series, pt: pd.Series, pr: pd.Series,
+    ) -> pd.Series:
+        E, R = b_ent.value, b_rel.value
+        lens = ph.str.len().to_numpy(dtype=np.int64)
+        if len(lens) == 0 or lens.sum() == 0:
+            return pd.Series(np.zeros(len(lens)))
+        f_ph = np.concatenate(ph.to_numpy()).astype(np.int64)
+        f_pt = np.concatenate(pt.to_numpy()).astype(np.int64)
+        f_pr = np.concatenate(pr.to_numpy()).astype(np.int64)
+        rep_h = np.repeat(h.to_numpy(dtype=np.int64), lens)
+        rep_t = np.repeat(t.to_numpy(dtype=np.int64), lens)
+        rep_r = np.repeat(r.to_numpy(dtype=np.int64), lens)
+        per_edge = (
+            np.einsum("ij,ij->i", E[rep_h], E[f_pt])
+            + np.einsum("ij,ij->i", E[rep_t], E[f_ph])
+            + np.einsum("ij,ij->i", R[rep_r], R[f_pr])
+        )
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sums = np.add.reduceat(per_edge, starts)
+        sums[lens == 0] = 0.0
+        return pd.Series(sums / (3.0 * np.maximum(lens, 1)))
+
+    return _score
+
+
+def ranked_paths(
+    paths: DataFrame, queries: DataFrame, score_udf
+) -> DataFrame:
+    """Join candidate paths to query triples and emit ranked lines.
+
+    ``queries``: distinct (h, t, r). Output: (h, t, r, line, ph, pt, pr,
+    len, score) with line = 1-based rank after the reference's slot
+    semantics (trivial direct path burns a slot inside the top-51, then is
+    dropped).
+    """
+    joined = queries.select("h", "t", "r").distinct().join(paths, ["h", "t"])
+    scored = joined.withColumn(
+        "score",
+        score_udf(F.col("h"), F.col("t"), F.col("r"), F.col("ph"), F.col("pt"), F.col("pr")),
+    )
+    w = Window.partitionBy("h", "t", "r").orderBy(
+        F.col("score").desc(), F.col("len").asc(), F.col("ph").asc(), F.col("pt").asc(), F.col("pr").asc()
+    )
+    slotted = scored.withColumn("_slot", F.row_number().over(w)).filter(
+        F.col("_slot") <= MAX_RANK_SLOTS
+    )
+    trivial = (
+        (F.col("len") == 1)
+        & (F.element_at("ph", 1) == F.col("h"))
+        & (F.element_at("pt", 1) == F.col("t"))
+        & (F.element_at("pr", 1) == F.col("r"))
+    )
+    kept = slotted.filter(~trivial)
+    w2 = Window.partitionBy("h", "t", "r").orderBy("_slot")
+    return kept.withColumn("line", F.row_number().over(w2)).drop("_slot")
+
+
+def path_features(
+    triples: DataFrame, ranked: DataFrame, max_p: int = MAX_P
+) -> DataFrame:
+    """Attach top-``max_p`` path tensors to a triple stream.
+
+    For k in 1..max_p adds columns path{k}_h/t/r: the k-th ranked path's
+    id arrays zero-padded to MAX_EDGES (PrecessData.py:159-197 pads with
+    id 0 — reference quirk preserved: pad id collides with entity 0).
+    """
+    out = triples
+    pad = F.array_repeat(F.lit(0).cast("long"), MAX_EDGES)
+    for k in range(1, max_p + 1):
+        pk = ranked.filter(F.col("line") == k).select(
+            "h", "t", "r",
+            F.col("ph").alias(f"_ph{k}"),
+            F.col("pt").alias(f"_pt{k}"),
+            F.col("pr").alias(f"_pr{k}"),
+        )
+        out = out.join(pk, ["h", "t", "r"], "left")
+        for nm in ("h", "t", "r"):
+            src = F.coalesce(F.col(f"_p{nm}{k}"), F.array().cast("array<long>"))
+            out = out.withColumn(
+                f"path{k}_{nm}",
+                F.slice(F.concat(src, pad), 1, MAX_EDGES),
+            ).drop(f"_p{nm}{k}")
+    return out

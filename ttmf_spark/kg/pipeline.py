@@ -1,0 +1,229 @@
+"""End-to-end TTMF trust scoring over an extracted triple table — the
+Spark re-expression of the reference's `full_run.sh` + `Model1.py` flow
+(SURVEY.md §3.1): encode -> labeled pairs -> embeddings -> subgraphs ->
+personalized PageRank -> RR features -> thresholds -> TransE margins ->
+path features -> fusion -> per-triple confidence.
+
+``score_triples`` takes string (s, p, o) triples (e.g. the output of
+ttmf_spark.extract.extract_triples) and returns them with a ``conf``
+column plus the intermediate features. Stages checkpoint through an
+optional StageStore for resume; every distributed step is a DataFrame
+op or an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ttmf_spark.checkpoint import StageStore
+from ttmf_spark.kg import encode, fusion, graph, negatives, pagerank, paths, rrank, transe
+from ttmf_spark.kg.threshold import best_threshold
+
+
+@dataclass
+class TTMFModel:
+    """Driver-resident fitted artifacts (dim-bounded, broadcastable)."""
+
+    ent_emb: np.ndarray
+    rel_emb: np.ndarray
+    fusion_weights: object
+    fusion_kind: str = "logistic"
+    meta: dict = field(default_factory=dict)
+
+
+@dataclass
+class FeatureContext:
+    """Shared per-KG DataFrames consumed by the feature attachers."""
+
+    ent_dim: DataFrame
+    rel_dim: DataFrame
+    id_triples: DataFrame
+    dev_pairs: DataFrame
+    rr_features: DataFrame
+    tc_thresholds: DataFrame
+    ranked_paths: DataFrame
+    energy_udf: object
+
+
+def build_context(
+    spark: SparkSession,
+    triples: DataFrame,
+    depth: int = graph.DEFAULT_DEPTH,
+    seed: int = 42,
+    store: StageStore | None = None,
+    transe_kw: dict | None = None,
+) -> tuple[FeatureContext, TTMFModel]:
+    """Fit all shared artifacts for a string (s, p, o) triple table."""
+
+    def ck(stage: str, build, **kw) -> DataFrame:
+        if store is None:
+            df = build()
+            return df.localCheckpoint(eager=True)
+        return store.materialize(spark, stage, build, **kw)
+
+    ent_dim = ck("entity2id", lambda: encode.entity_dim(triples))
+    rel_dim = ck("relation2id", lambda: encode.relation_dim(triples))
+    n_ent, n_rel = ent_dim.count(), rel_dim.count()
+    id_triples = ck(
+        "triples2id", lambda: encode.encode_triples(triples, ent_dim, rel_dim)
+    )
+
+    # labeled pos/neg pairs (reference conf_valid2id) from a hash split
+    dev_ids = id_triples.filter(
+        F.pmod(F.xxhash64("h", "r", "t", F.lit(seed + 7)), F.lit(5)) == 0
+    )
+    dev_pairs = ck(
+        "conf_dev2id", lambda: negatives.tc_pairs_ids(dev_ids, n_ent, seed=seed)
+    )
+
+    # embeddings: driver-side seeded trainer (SURVEY.md M4)
+    ent_emb, rel_emb = transe.fit_embeddings_from_df(
+        id_triples, n_ent, n_rel, seed=seed, **(transe_kw or {})
+    )
+    energy_udf = transe.transe_energy_col(spark, ent_emb, rel_emb)
+
+    # graph stages over the full extracted KG
+    adj = ck("adjacency", lambda: graph.build_adjacency(id_triples))
+    edges_w = graph.weighted_edges(adj)
+    all_queries = (
+        id_triples.select("h", "r", "t")
+        .unionByName(dev_pairs.select("h", "r", "t"))
+        .distinct()
+    )
+    cores = all_queries.select(F.col("h").alias("core")).distinct()
+    reach = ck("reach", lambda: graph.reach_sets(adj, cores, depth))
+    sg_edges = ck(
+        "sg_edges",
+        lambda: graph.subgraph_edges(edges_w, reach, depth),
+        partition_by=None,
+    )
+    sg_nodes = graph.subgraph_nodes(sg_edges, cores)
+    patched = pagerank.patched_edges(sg_edges, sg_nodes)
+    ranks = ck("entity_rank", lambda: pagerank.pagerank_grouped(patched))
+
+    rr_th = rrank.rr_thresholds(dev_pairs, ranks)
+    degrees = graph.subgraph_degrees(sg_edges)
+    depths = reach.select("core", "node", "depth")
+    rr_feat = ck(
+        "rr_features",
+        lambda: rrank.rr_feature_table(ranks, degrees, depths, rr_th),
+    )
+
+    # TransE per-relation thresholds from dev-pair energies (asc variant)
+    dev_scored = transe.add_transe_energy(dev_pairs, energy_udf).withColumn(
+        "score", F.col("energy")
+    )
+    tc_th = ck(
+        "tc_thresholds",
+        lambda: best_threshold(dev_scored, "r", ascending=True),
+    )
+
+    # bounded paths for every query triple
+    ex_edges = paths.exploded_edges(adj)
+    seeds = all_queries.select("h").distinct()
+    cand = paths.enumerate_paths(ex_edges, seeds)
+    score_udf = paths.path_score_udf(spark, ent_emb, rel_emb)
+    ranked = ck(
+        "ranked_paths",
+        lambda: paths.ranked_paths(cand, all_queries, score_udf),
+    )
+
+    ctx = FeatureContext(
+        ent_dim=ent_dim,
+        rel_dim=rel_dim,
+        id_triples=id_triples,
+        dev_pairs=dev_pairs,
+        rr_features=rr_feat,
+        tc_thresholds=tc_th,
+        ranked_paths=ranked,
+        energy_udf=energy_udf,
+    )
+    model = TTMFModel(
+        ent_emb=ent_emb,
+        rel_emb=rel_emb,
+        fusion_weights=None,
+        meta={"n_ent": n_ent, "n_rel": n_rel, "seed": seed},
+    )
+    return ctx, model
+
+
+def attach_features(ctx: FeatureContext, query: DataFrame) -> DataFrame:
+    """(h, r, t, ...) -> + trans_conf, rr_features, path summaries."""
+    out = transe.add_transe_energy(query, ctx.energy_udf)
+    out = transe.transe_confidence(out, ctx.tc_thresholds)
+    out = rrank.attach_rr_features(out, ctx.rr_features)
+    out = fusion.attach_path_summary(out, ctx.ranked_paths)
+    return out
+
+
+def fit_fusion(
+    ctx: FeatureContext, model: TTMFModel, kind: str = "logistic", seed: int = 42
+) -> TTMFModel:
+    """Train the fusion layer on the labeled dev pairs (driver-side)."""
+    feats = attach_features(ctx, ctx.dev_pairs)
+    pdf = feats.select(*fusion.FEATURE_COLS, "flag").toPandas()
+    X = fusion.feature_matrix(pdf)
+    y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
+    if kind == "mlp":
+        model.fusion_weights = fusion.fit_mlp(X, y, seed=seed)
+    else:
+        model.fusion_weights = fusion.fit_logistic(X, y)
+    model.fusion_kind = kind
+    return model
+
+
+def score_ids(
+    spark: SparkSession, ctx: FeatureContext, model: TTMFModel, query: DataFrame
+) -> DataFrame:
+    """Attach the fused ``conf`` column to an id-triple query frame."""
+    feats = attach_features(ctx, query)
+    if model.fusion_kind == "mlp":
+        udf = fusion.mlp_udf(spark, model.fusion_weights)
+    else:
+        udf = fusion.logistic_udf(spark, model.fusion_weights)
+    return fusion.add_confidence(feats, udf)
+
+
+def score_triples(
+    spark: SparkSession,
+    triples: DataFrame,
+    kind: str = "logistic",
+    depth: int = graph.DEFAULT_DEPTH,
+    seed: int = 42,
+    store: StageStore | None = None,
+    transe_kw: dict | None = None,
+) -> tuple[DataFrame, TTMFModel]:
+    """Full flow: string (s, p, o) -> (s, p, o, conf, ...features).
+
+    The flagship "query" of the engine (SURVEY.md §3.3): per-triple
+    confidence from the three fused trust levels.
+    """
+    ctx, model = build_context(
+        spark, triples, depth=depth, seed=seed, store=store, transe_kw=transe_kw
+    )
+    model = fit_fusion(ctx, model, kind=kind, seed=seed)
+    scored = score_ids(spark, ctx, model, ctx.id_triples)
+    names = scored.join(
+        F.broadcast(ctx.ent_dim.select(F.col("id").alias("h"), F.col("name").alias("s"))),
+        "h",
+    ).join(
+        F.broadcast(ctx.ent_dim.select(F.col("id").alias("t"), F.col("name").alias("o"))),
+        "t",
+    ).join(
+        F.broadcast(ctx.rel_dim.select(F.col("id").alias("r"), F.col("name").alias("p"))),
+        "r",
+    )
+    return names.select("s", "p", "o", "conf", "trans_conf", "rr_features"), model
+
+
+def lowest_confidence(scored: DataFrame, k: int = 100, threshold: float | None = None) -> DataFrame:
+    """Error report (reference find_errors.py:54-67): optional conf<theta
+    filter (P5) + global bottom-k (W5, TakeOrderedAndProject)."""
+    out = scored
+    if threshold is not None:
+        out = out.filter(F.col("conf") < threshold)
+    return out.orderBy(F.col("conf").asc()).limit(k)

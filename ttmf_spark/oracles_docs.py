@@ -1,0 +1,227 @@
+"""DuckDB oracle SQL for the data-pipeline operators (dedup, similarity,
+text analysis) over the driver `documents` / `embeddings` views.
+
+Semantics mirror ttmf_spark.datapipe exactly; hash-dependent operators
+use the portable md5-60bit hash (datapipe.dedup.hash64 fn='md5') so even
+MinHash/SimHash results are byte-identical across engines.
+"""
+
+from __future__ import annotations
+
+from ttmf_spark.datapipe.textstats import LANG_MARKERS, STOPWORDS_EN
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def doc_stats_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])', 1)) AS n_subwords
+FROM documents
+"""
+
+
+def doc_quality_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', '', 'g')) AS n_punct
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         least(n_chars / 500.0, 1.0) AS len_score,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> x IN ({stop_list}))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+              ELSE 0.0 END AS mean_token_len
+  FROM base
+)
+SELECT doc_id, ROUND(len_score, 6) AS len_score, ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio, ROUND(mean_token_len, 6) AS mean_token_len,
+       ROUND(0.4 * len_score + 0.4 * least(stop_ratio * 5.0, 1.0)
+             + 0.2 * (1.0 - least(punct_ratio * 10.0, 1.0)), 6) AS quality
+FROM feats
+"""
+
+
+def doc_langid_sql() -> str:
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        marks = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({marks}))) AS n_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    # argmax with strict > over lex-ordered langs == first max (tie -> lex-first)
+    best = "CASE "
+    for lang in langs:
+        cond = " AND ".join(
+            f"n_{lang} >= n_{o}" if o > lang else f"n_{lang} > n_{o}"
+            for o in langs
+            if o != lang
+        )
+        best += f"WHEN {cond or 'TRUE'} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    # note: reduce-with-> in Spark keeps the FIRST max (acc wins ties);
+    # langs are visited in sorted order, so lex-smallest max wins there too.
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {', '.join(score_cols)} FROM t)
+SELECT doc_id,
+       CASE WHEN greatest({', '.join('n_' + l for l in langs)}) > 0
+            THEN {best}
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def doc_fingerprint_sql() -> str:
+    return f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+
+
+def doc_exact_dedup_sql() -> str:
+    return f"""
+SELECT MIN(doc_id) AS doc_id, md5({_NORM}) AS fingerprint, COUNT(*) AS dup_count
+FROM documents GROUP BY 2
+"""
+
+
+_SHINGLES = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(l) >= {n}
+                THEN [array_to_string(l[i+1:i+{n}], ' ') for i in range(0, len(l)-{n}+1)]
+                ELSE [array_to_string(l, ' ')] END)) AS shingle
+  FROM toks
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY 1)
+"""
+
+
+def doc_jaccard_pairs_sql(tau: float = 0.8, n: int = 3) -> str:
+    return f"""
+WITH {_SHINGLES.format(n=n).strip()},
+ov AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ov.a, ov.b,
+       ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM ov JOIN sizes sa ON ov.a = sa.doc_id JOIN sizes sb ON ov.b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= {tau}
+"""
+
+
+def _md5h(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def doc_minhash_pairs_sql(
+    tau: float = 0.8, k: int = 16, bands: int = 8, n: int = 3
+) -> str:
+    """MinHash-LSH with md5-60bit hashes — full value parity with
+    datapipe.dedup.minhash_lsh_pairs(hash_fn='md5')."""
+    r = k // bands
+    min_cols = ", ".join(
+        "MIN({h}) AS m{i}".format(h=_md5h("'%d' || shingle" % i), i=i)
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + _md5h(
+            f"'{1000 + bi}' || "
+            + " || ',' || ".join(f"CAST(m{bi * r + j} AS VARCHAR)" for j in range(r))
+        )
+        + " AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES.format(n=n).strip()},
+sig AS (SELECT doc_id, {min_cols} FROM sh2 GROUP BY doc_id),
+bucketed AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bucketed a JOIN bucketed b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+ov AS (
+  SELECT c.a, c.b, COUNT(*) AS common
+  FROM cand c JOIN sh2 x ON x.doc_id = c.a JOIN sh2 y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT ov.a, ov.b,
+       ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM ov JOIN sizes sa ON ov.a = sa.doc_id JOIN sizes sb ON ov.b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= {tau}
+"""
+
+
+def doc_simhash_sql() -> str:
+    """SimHash with the md5-60bit token hash (bits 60-62 vote all -1)."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(63)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)" for b in range(63)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_md5h("'0' || tok")} AS th FROM t),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM v
+"""
+
+
+_UNIT_EMB = """
+u AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM u),
+un AS (SELECT vec_id,
+              CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS uv
+       FROM n)
+"""
+
+
+def emb_topk_sql(k: int = 5, query_mod: int = 50) -> str:
+    return f"""
+WITH {_UNIT_EMB.strip()},
+q AS (SELECT vec_id AS query_id, uv AS qv FROM un WHERE vec_id % {query_mod} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(c.uv, q.qv), 6) AS cos
+  FROM un c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def emb_near_dup_sql(tau: float = 0.4) -> str:
+    return f"""
+WITH {_UNIT_EMB.strip()}
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.uv, b.uv), 6) AS cos
+FROM un a JOIN un b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= {tau}
+"""

@@ -1,0 +1,207 @@
+"""DuckDB oracle SQL for the KG-layer operators (SURVEY.md §2.2-2.7).
+
+All queries run on the driver-registered TPC-H views; the KG itself is
+the planted truth-triple set (ttmf_spark.oracles.truth_triples_sql), so
+encode/adjacency/reach/subgraph/degree/path results are exactly
+relationally derivable. Core/head restrictions keep the sf0.01 gate fast
+while exercising full operator semantics.
+"""
+
+from __future__ import annotations
+
+from ttmf_spark.oracles import truth_triples_sql
+
+# shared CTE prefix: triples -> dense dictionaries -> id triples
+KG_BASE = f"""
+triples AS ({truth_triples_sql()}),
+ent AS (
+  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+  FROM (SELECT s AS name FROM triples UNION SELECT o FROM triples) u
+),
+rel AS (
+  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+  FROM (SELECT DISTINCT p AS name FROM triples) u
+),
+idt AS MATERIALIZED (
+  SELECT eh.id AS h, r.id AS r, et.id AS t
+  FROM triples
+  JOIN ent eh ON triples.s = eh.name
+  JOIN rel r  ON triples.p = r.name
+  JOIN ent et ON triples.o = et.name
+)
+"""
+
+# adjacency with global out-normalized weights (SURVEY.md A3/A4 clean rule)
+KG_ADJ = """
+adj AS (
+  SELECT h AS src, t AS dst, COUNT(*) AS n_rels,
+         string_agg(CAST(r AS VARCHAR), ',' ORDER BY r) AS rels_str
+  FROM idt GROUP BY h, t
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, n_rels, rels_str,
+         CAST(n_rels AS DOUBLE) / SUM(n_rels) OVER (PARTITION BY src) AS w
+  FROM adj
+)
+"""
+
+# restricted core set: order entities with orderkey % 100 = 0
+KG_CORES = """
+cores AS (
+  SELECT id AS core FROM ent
+  WHERE name LIKE 'O%' AND CAST(substr(name, 2) AS BIGINT) % 100 = 0
+)
+"""
+
+def _bfs_reach(depth: int = 4) -> str:
+    """Unrolled BFS as min-depth over layered expansion: layer k = distinct
+    (core, dst) of layer k-1; shortest distance = MIN over the union (no
+    visited-set anti-join needed — the graph is a bounded-depth DAG)."""
+    parts = ["l0 AS (SELECT core, core AS node, 0 AS depth FROM cores)"]
+    for k in range(1, depth + 1):
+        parts.append(
+            f"l{k} AS (SELECT DISTINCT f.core, e.dst AS node, {k} AS depth "
+            f"FROM l{k-1} f JOIN edges e ON e.src = f.node)"
+        )
+    layers = " UNION ALL ".join(f"SELECT * FROM l{k}" for k in range(depth + 1))
+    parts.append(
+        f"reach AS MATERIALIZED (SELECT core, node, MIN(depth) AS depth FROM ({layers}) "
+        "lall GROUP BY core, node)"
+    )
+    return ",\n".join(parts)
+
+
+def kg_entity2id_sql() -> str:
+    return f"WITH {KG_BASE.strip()} SELECT name, id FROM ent"
+
+
+def kg_triples2id_sql() -> str:
+    return f"WITH {KG_BASE.strip()} SELECT h, r, t FROM idt"
+
+
+def kg_adjacency_sql() -> str:
+    return (
+        f"WITH {KG_BASE.strip()}, {KG_ADJ.strip()} "
+        "SELECT src, dst, n_rels, rels_str, ROUND(w, 6) AS w FROM edges"
+    )
+
+
+def kg_reach_sql(depth: int = 4) -> str:
+    return (
+        f"WITH {KG_BASE.strip()}, {KG_ADJ.strip()}, {KG_CORES.strip()},\n"
+        f"{_bfs_reach(depth)}\n"
+        "SELECT core, node, depth FROM reach"
+    )
+
+
+def kg_subgraph_edges_sql(depth: int = 4) -> str:
+    return (
+        f"WITH {KG_BASE.strip()}, {KG_ADJ.strip()}, {KG_CORES.strip()},\n"
+        f"{_bfs_reach(depth)}\n"
+        f"SELECT r.core, e.src, e.dst, ROUND(e.w, 6) AS w "
+        f"FROM reach r JOIN edges e ON e.src = r.node WHERE r.depth <= {depth - 1}"
+    )
+
+
+def kg_degrees_sql(depth: int = 4) -> str:
+    return (
+        f"WITH {KG_BASE.strip()}, {KG_ADJ.strip()}, {KG_CORES.strip()},\n"
+        f"{_bfs_reach(depth)},\n"
+        f"sg AS MATERIALIZED (SELECT r.core, e.src, e.dst FROM reach r JOIN edges e "
+        f"ON e.src = r.node WHERE r.depth <= {depth - 1}),\n"
+        "nodes AS (SELECT DISTINCT core, src AS node FROM sg "
+        "UNION SELECT DISTINCT core, dst FROM sg UNION SELECT core, core FROM cores),\n"
+        "od AS (SELECT core, src AS node, COUNT(DISTINCT dst) AS out_deg FROM sg GROUP BY 1, 2),\n"
+        "idg AS (SELECT core, dst AS node, COUNT(DISTINCT src) AS in_deg FROM sg GROUP BY 1, 2)\n"
+        "SELECT n.core, n.node, COALESCE(idg.in_deg, 0) AS in_deg, "
+        "COALESCE(od.out_deg, 0) AS out_deg "
+        "FROM nodes n LEFT JOIN od ON n.core = od.core AND n.node = od.node "
+        "LEFT JOIN idg ON n.core = idg.core AND n.node = idg.node"
+    )
+
+
+# --- bounded simple paths (SURVEY.md G5) -----------------------------------
+
+KG_PATH_HEADS = """
+heads AS (
+  SELECT id AS h FROM ent
+  WHERE name LIKE 'O%' AND CAST(substr(name, 2) AS BIGINT) % 500 = 0
+)
+"""
+
+
+def kg_paths_sql() -> str:
+    """All simple paths of 1..3 edges from restricted heads, as strings."""
+    return f"""
+WITH {KG_BASE.strip()}, {KG_PATH_HEADS.strip()},
+e AS (SELECT h AS src, t AS dst, r FROM idt),
+p1 AS (
+  SELECT heads.h, e.dst AS t,
+         '(' || e.src || ',' || e.dst || ',' || e.r || ')' AS path, 1 AS len,
+         e.src AS v0, e.dst AS v1, CAST(NULL AS BIGINT) AS v2
+  FROM heads JOIN e ON e.src = heads.h WHERE e.dst <> heads.h
+),
+p2 AS (
+  SELECT p1.h, e.dst AS t,
+         p1.path || '(' || e.src || ',' || e.dst || ',' || e.r || ')' AS path, 2 AS len,
+         p1.v0, p1.v1, e.dst AS v2
+  FROM p1 JOIN e ON e.src = p1.t
+  WHERE e.dst <> p1.v0 AND e.dst <> p1.v1
+),
+p3 AS (
+  SELECT p2.h, e.dst AS t,
+         p2.path || '(' || e.src || ',' || e.dst || ',' || e.r || ')' AS path, 3 AS len
+  FROM p2 JOIN e ON e.src = p2.t
+  WHERE e.dst <> p2.v0 AND e.dst <> p2.v1 AND e.dst <> p2.v2
+)
+SELECT h, t, path, len FROM p1
+UNION ALL SELECT h, t, path, len FROM p2
+UNION ALL SELECT h, t, path, len FROM p3
+"""
+
+
+# --- W1 threshold scan on synthetic labeled groups -------------------------
+
+THRESH_INPUT = """
+pairs AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS grp,
+         CAST((c_custkey * 2654435761) % 100000 AS DOUBLE) / 1000.0 AS score,
+         CASE WHEN (c_custkey * 7919) % 3 = 0 THEN 1 ELSE -1 END AS flag,
+         CAST(c_custkey AS BIGINT) AS seq
+  FROM customer
+)
+"""
+
+
+def kg_threshold_scan_sql(ascending: bool = True) -> str:
+    """Reference getThreshold scan re-expressed in portable window SQL."""
+    direction = "ASC" if ascending else "DESC"
+    default = "- 0.01" if ascending else "+ 0.01"
+    return f"""
+WITH {THRESH_INPUT.strip()},
+lagged AS (
+  SELECT grp, score, flag, seq,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score {direction}, seq ASC) AS i,
+         LAG(score) OVER (PARTITION BY grp ORDER BY score {direction}, seq ASC) AS prev_score,
+         LAG(flag) OVER (PARTITION BY grp ORDER BY score {direction}, seq ASC) AS prev_flag
+  FROM pairs
+),
+ordered AS (
+  SELECT grp, score, flag, seq, i, prev_score,
+         SUM(CASE WHEN prev_flag IS NULL THEN 0
+                  WHEN prev_flag = 1 THEN 1 ELSE -1 END)
+           OVER (PARTITION BY grp ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lagged
+),
+gmax AS (SELECT grp, MAX(cum) AS g FROM ordered WHERE i >= 2 GROUP BY grp),
+dflt AS (SELECT grp, score {default} AS d FROM ordered WHERE i = 1),
+best AS (
+  SELECT o.grp, MIN_BY((o.score + o.prev_score) / 2.0, o.i) AS b
+  FROM ordered o JOIN gmax ON o.grp = gmax.grp
+  WHERE o.i >= 2 AND o.cum = gmax.g AND gmax.g > 0
+  GROUP BY o.grp
+)
+SELECT dflt.grp, ROUND(COALESCE(best.b, dflt.d), 9) AS threshold
+FROM dflt LEFT JOIN best ON dflt.grp = best.grp
+"""
