@@ -41,6 +41,19 @@ SCORE_MOD = int(os.environ.get("SPARK_GRAFT_SCORE_FRAC_MOD", "20"))  # 1/20 of d
 TRANSE_EPOCHS = int(os.environ.get("SPARK_GRAFT_TRANSE_EPOCHS", "10"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 SCALING_BASE_CPUS = int(os.environ.get("SPARK_GRAFT_SCALING_BASE", "8"))
+# the scaling probe replicates the docs input so per-core compute dominates
+# fixed stage overhead (the sandbox stand-in for "same job, bigger cluster");
+# both parallelism levels run the SAME replicated input with the SAME shuffle
+# partitioning, so cores are the only variable.
+SCALING_REP = int(os.environ.get("SPARK_GRAFT_SCALING_REP", "8"))
+# small-data parallelism: keep AQE's post-shuffle coalescing from collapsing
+# bench-scale shuffles (~50 MB) into 1 partition — at 100 TB the default
+# 64 MB advisory is right, at sf<=0.1 it serializes every stage.
+BENCH_CONF = {
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+    # small files at bench scale: default 128m splits give < cores tasks
+    "spark.sql.files.maxPartitionBytes": "32m",
+}
 
 
 def _materialize_inputs(spark, sf_dir: str, work: str) -> str:
@@ -68,7 +81,7 @@ def _run_extract(spark, docs_path: str, sf_dir: str, out_path: str) -> tuple[flo
 
 
 def main() -> None:
-    spark = get_spark(app_name="ttmf_bench", cores=CPUS)
+    spark = get_spark(app_name="ttmf_bench", cores=CPUS, extra_conf=BENCH_CONF)
     os.makedirs(WORK, exist_ok=True)
     docs_path = _materialize_inputs(spark, SF_DIR, WORK)
 
@@ -90,16 +103,32 @@ def main() -> None:
     same = corpus.same_as_edges(spark, SF_DIR)
     scored_path = os.path.join(WORK, "scored_out.parquet")
     shutil.rmtree(scored_path, ignore_errors=True)
+    ck_dir = os.path.join(WORK, "score_ck")
+    shutil.rmtree(ck_dir, ignore_errors=True)
+    from ttmf_spark.checkpoint import StageStore
+
+    store = StageStore(ck_dir)
     t0 = time.perf_counter()
     sub_triples = extract_triples(sub_docs, gaz, same)
     scored, _model = score_triples(
-        spark, sub_triples, kind="logistic", transe_kw={"epochs": TRANSE_EPOCHS}
+        spark,
+        sub_triples,
+        kind="logistic",
+        transe_kw={"epochs": TRANSE_EPOCHS},
+        store=store,
     )
     scored.write.mode("overwrite").parquet(scored_path)
     timings["ttmf_score_e2e"] = time.perf_counter() - t0
     n_scored = spark.read.parquet(scored_path).count()
     extras["triples_scored"] = n_scored
     extras["scored_triples_per_sec"] = n_scored / timings["ttmf_score_e2e"]
+    try:  # per-stage breakdown from the checkpoint store's lineage log
+        with open(os.path.join(ck_dir, "_metrics.jsonl")) as f:
+            extras["score_stages"] = {
+                r["stage"]: r["seconds"] for r in map(json.loads, f)
+            }
+    except OSError:
+        pass
 
     # q3: span flatten scan (input-invariant surface)
     t0 = time.perf_counter()
@@ -127,22 +156,48 @@ def main() -> None:
     timings["similarity_topk"] = time.perf_counter() - t0
     extras["topk_rows"] = n_nn
 
+    # scaling probe input: replicated docs (id-suffixed copies), written once
+    rep_path = None
+    if DO_SCALING:
+        rep_path = os.path.join(
+            WORK, f"docs_{os.path.basename(SF_DIR)}_x{SCALING_REP}.parquet"
+        )
+        if not os.path.exists(rep_path + "/_SUCCESS"):
+            docs = spark.read.parquet(docs_path)
+            reps = [
+                docs.select(
+                    F.concat(F.col("doc_id"), F.lit(f"_r{i}")).alias("doc_id"), "spans"
+                )
+                for i in range(SCALING_REP)
+            ]
+            big = reps[0]
+            for r in reps[1:]:
+                big = big.unionByName(r)
+            big.repartition(128).write.mode("overwrite").parquet(rep_path)
     spark.stop()
 
-    # scaling probe: same extraction job at local[SCALING_BASE_CPUS]
+    # scaling probe: identical job + input + shuffle partitioning at
+    # local[SCALING_BASE_CPUS] and local[CPUS]; cores are the only variable
     if DO_SCALING:
-        spark8 = get_spark(app_name="ttmf_bench_scale", cores=str(SCALING_BASE_CPUS))
-        out8 = os.path.join(WORK, "triples_out_scale.parquet")
-        dt8, n8 = _run_extract(spark8, docs_path, SF_DIR, out8)
-        spark8.stop()
-        thr_hi = n_triples / timings["kg_construct_e2e"]
-        thr_lo = n8 / dt8
+        thr = {}
+        for cores in (SCALING_BASE_CPUS, int(CPUS)):
+            s = get_spark(
+                app_name=f"ttmf_bench_scale_{cores}",
+                cores=str(cores),
+                shuffle_partitions=2 * int(CPUS),
+                extra_conf=BENCH_CONF,
+            )
+            outp = os.path.join(WORK, f"triples_out_scale_{cores}.parquet")
+            dt_c, n_c = _run_extract(s, rep_path, SF_DIR, outp)
+            s.stop()
+            thr[cores] = n_c / dt_c
         ratio = int(CPUS) / SCALING_BASE_CPUS
         extras["scaling"] = {
-            f"triples_per_sec_local{SCALING_BASE_CPUS}": round(thr_lo, 1),
-            f"triples_per_sec_local{CPUS}": round(thr_hi, 1),
+            f"triples_per_sec_local{SCALING_BASE_CPUS}": round(thr[SCALING_BASE_CPUS], 1),
+            f"triples_per_sec_local{int(CPUS)}": round(thr[int(CPUS)], 1),
+            "input_replication": SCALING_REP,
             "cores_ratio": ratio,
-            "efficiency": round((thr_hi / thr_lo) / ratio, 3),
+            "efficiency": round((thr[int(CPUS)] / thr[SCALING_BASE_CPUS]) / ratio, 3),
         }
 
     total = sum(timings.values())

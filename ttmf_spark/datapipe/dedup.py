@@ -127,8 +127,44 @@ def minhash_signatures(
     docs: DataFrame, k: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig array<long>[k]): min over shingle xxhash64 per seed."""
+    """(doc_id, sig array<long>[k]): k min-hashes per document.
+
+    Fast path (xxhash64): ONE base hash per shingle + k affine
+    permutations ``(a_i * h + b_i) mod p`` with p = 2^31 - 1 — the classic
+    universal-hashing MinHash construction; k full hashes per shingle
+    would cost k times the CPU for no extra quality. The md5 path keeps
+    per-seed full hashes because it exists for byte-exact DuckDB oracle
+    parity, not speed.
+    """
     sh = shingles(docs, text_col, id_col, n)
+    if hash_fn == "xxhash64":
+        p = (1 << 31) - 1  # Mersenne prime: products stay < 2^62 (no ANSI overflow)
+        rng = __import__("numpy").random.default_rng(1234567)
+        a = F.array(*[F.lit(int(rng.integers(1, p))) for _ in range(k)])
+        b = F.array(*[F.lit(int(rng.integers(0, p))) for _ in range(k)])
+        # one base hash per shingle, then explode the k permutations into
+        # rows and min-aggregate — k wide min() aggregates would compile a
+        # pathologically large codegen stage (seconds of Janino per run)
+        base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
+        perms = sh.select(
+            id_col,
+            F.posexplode(
+                F.zip_with(a, b, lambda ai, bi: F.pmod(ai * base + bi, F.lit(p)))
+            ).alias("_i", "_hv"),
+        )
+        agg = (
+            perms.groupBy(id_col, "_i")
+            .agg(F.min("_hv").alias("_mv"))
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_i", "_mv"))).alias("_sm")
+            )
+            .select(
+                id_col,
+                F.transform("_sm", lambda s: s["_mv"]).alias("sig"),
+            )
+        )
+        return agg
     mins = [
         F.min(hash64(F.col("shingle"), i, hash_fn)).alias(f"_m{i}") for i in range(k)
     ]

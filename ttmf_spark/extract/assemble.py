@@ -24,11 +24,22 @@ SPAN_RULES = [
 ]
 
 
-def assemble_triples(linked: DataFrame) -> DataFrame:
-    """(doc_id, pos, slot, entity) -> distinct (s, p, o)."""
+def assemble_triples(linked: DataFrame, materialize: bool = True) -> DataFrame:
+    """(doc_id, pos, slot, entity) -> distinct (s, p, o).
+
+    ``materialize`` snapshots the slot->entity span map ONCE: it feeds
+    seven consumers (five span rules + the doc-level order/part sides),
+    and without truncation each one — including the broadcast subquery
+    for the doc-level join — recomputes the entire detect->link upstream
+    (observed 7x wall-time at bench scale). This is the natural stage
+    boundary; production swaps localCheckpoint for a StageStore/Iceberg
+    checkpoint table (the reference's intermediate-files analog).
+    """
     span_map = linked.groupBy("doc_id", "pos").agg(
         F.map_from_entries(F.collect_list(F.struct("slot", "entity"))).alias("m")
     )
+    if materialize:
+        span_map = span_map.localCheckpoint(eager=True)
     parts = []
     for pred, s_slot, o_slot in SPAN_RULES:
         parts.append(

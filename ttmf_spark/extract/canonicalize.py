@@ -80,18 +80,27 @@ def connected_components(
     if cur.isEmpty():
         return nodes.select("node", F.col("node").alias("component"))
     cur = cur.localCheckpoint(eager=True)
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        # one cheap agg instead of two exceptAll shuffles: the edge set is
+        # stable iff (count, order-insensitive hash-sum) is stable
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows in ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_fp = _fingerprint(cur)
     for _ in range(max_iter):
         after_large = _star_round(cur, large=True).distinct()
         after_small = _star_round(after_large, large=False).distinct()
         after_small = after_small.localCheckpoint(eager=True)
-        # converged when the (child > parent)-normalized edge set is stable
-        changed = (
-            after_small.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(after_small).limit(1).count()
-        )
+        fp = _fingerprint(after_small)
         cur = after_small
-        if changed == 0:
+        if fp == prev_fp:
             break
+        prev_fp = fp
     # at convergence every edge is (node -> component-min); re-attach
     # representatives and self-loop-only nodes as their own component
     labels = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))

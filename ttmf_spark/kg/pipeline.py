@@ -65,6 +65,10 @@ def build_context(
             return df.localCheckpoint(eager=True)
         return store.materialize(spark, stage, build, **kw)
 
+    # snapshot the input first: it may carry an arbitrarily deep lineage
+    # (e.g. the whole extraction pipeline) that every dim build would
+    # otherwise recompute from scratch
+    triples = ck("triples_raw", lambda: triples)
     ent_dim = ck("entity2id", lambda: encode.entity_dim(triples))
     rel_dim = ck("relation2id", lambda: encode.relation_dim(triples))
     n_ent, n_rel = ent_dim.count(), rel_dim.count()

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffle/spill dirs on tmpfs: the sandbox /tmp is a virtio disk and
+        # 32 concurrent shuffle writers serialize on it (~19x per-task
+        # slowdown measured); on a real cluster this is the usual
+        # local-NVMe spark.local.dir setting
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or None
     if n_shuffle is None:
