@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ttmf_spark import oracles, oracles_docs, oracles_kg
+from ttmf_spark import oracles, oracles_docs, oracles_eval, oracles_kg
 from ttmf_spark import queries as Q
 
 
@@ -43,6 +43,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_threshold_scan": Q.q_kg_threshold_scan,
         "kg_pagerank": Q.q_kg_pagerank,
         "kg_tc_pairs": Q.q_kg_tc_pairs,
+        # scoring / evaluation layer (SURVEY.md §2.8-2.9)
+        "kg_kgc_candidates": Q.q_kg_kgc_candidates,
+        "kg_link_prediction": Q.q_kg_link_prediction,
+        "kg_rank_metrics": Q.q_kg_rank_metrics,
+        "kg_accuracy": Q.q_kg_accuracy,
+        "kg_pr_sweep": Q.q_kg_pr_sweep,
+        "kg_fusion_conf": Q.q_kg_fusion_conf,
+        "kg_lowest_conf": Q.q_kg_lowest_conf,
+        "kg_score_e2e": Q.q_kg_score_e2e,
         # data pipeline: text analysis + dedup
         "doc_stats": Q.q_doc_stats,
         "doc_quality": Q.q_doc_quality,
@@ -74,6 +83,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracles_kg.kg_degrees_sql(),
         "kg_paths": oracles_kg.kg_paths_sql(),
         "kg_threshold_scan": oracles_kg.kg_threshold_scan_sql(),
+        "kg_kgc_candidates": oracles_eval.kg_kgc_candidates_sql(),
+        "kg_link_prediction": oracles_eval.kg_link_prediction_sql(),
+        "kg_rank_metrics": oracles_eval.kg_rank_metrics_sql(),
+        "kg_accuracy": oracles_eval.kg_accuracy_sql(),
+        "kg_pr_sweep": oracles_eval.kg_pr_sweep_sql(),
+        "kg_fusion_conf": oracles_eval.kg_fusion_conf_sql(),
+        "kg_lowest_conf": oracles_eval.kg_lowest_conf_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "doc_quality": oracles_docs.doc_quality_sql(),
         "doc_langid": oracles_docs.doc_langid_sql(),
@@ -84,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": oracles_docs.doc_simhash_sql(),
         "emb_topk": oracles_docs.emb_topk_sql(),
         "emb_near_dup": oracles_docs.emb_near_dup_sql(),
-        # rows-only (no oracle): kg_pagerank, kg_tc_pairs,
-        # doc_simhash_near_dup, emb_lsh_topk, media_features
+        # rows-only (no oracle): kg_pagerank, kg_tc_pairs, kg_score_e2e
+        # (trained TransE + fitted fusion), doc_simhash_near_dup,
+        # emb_lsh_topk, media_features
     }

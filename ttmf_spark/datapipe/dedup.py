@@ -92,9 +92,12 @@ def jaccard_pairs(
     """EXACT n-gram Jaccard near-dup pairs (a < b, jaccard >= tau).
 
     Inverted-index self-join; optional document-frequency pruning of hot
-    shingles (skew guard — changes results only for pairs whose entire
-    overlap is df-pruned, impossible for tau-high pairs unless max_df is
-    set far too low).
+    shingles (skew guard). NOTE on max_df semantics: sizes AND overlaps
+    are computed after pruning, so the Jaccard value SHIFTS for any pair
+    that shares a pruned shingle (e.g. 9/11 -> 8/10) — pairs near tau can
+    be both dropped and newly admitted. This matches the standard
+    "stopword-shingle removal" semantics (the pruned shingle is treated
+    as never part of either document); it is NOT a candidates-only prune.
     """
     sh = shingles(docs, text_col, id_col, n)
     if max_df:

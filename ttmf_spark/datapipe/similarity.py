@@ -9,7 +9,9 @@
   path: corpus hashed once into 2^p buckets; each query probes its own
   bucket (+ optional multi-probe neighbors), exact cosine within bucket.
 - embedding_near_dup_pairs: all corpus pairs with cosine >= tau via
-  bucket-blocked self-join.
+  banded sign-LSH candidate equi-join + exact verification (the O(n^2)
+  cross join survives only as ``embedding_near_dup_pairs_exact``, the
+  tiny-scale test oracle twin).
 
 Scores are computed in float64 and rounded to 6 decimals so results are
 reproducible across engines (DuckDB oracle parity).
@@ -18,8 +20,10 @@ reproducible across engines (DuckDB oracle parity).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -128,18 +132,17 @@ def lsh_topk(
     )
 
 
-def embedding_near_dup_pairs(
+def embedding_near_dup_pairs_exact(
     corpus: DataFrame,
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact (a < b, cos >= tau) pairs via block-nested self-join.
+    """Exact (a < b, cos >= tau) pairs via the O(n^2) cross join.
 
-    At bench scale this is the plain O(n^2) cross join (exactness
-    baseline); the LSH-bucketed candidate generator above is the scale
-    path — tau-high pairs almost always share a bucket, and a multi-probe
-    union closes the gap.
+    Exactness baseline / test oracle twin ONLY — a cartesian product is
+    the canonical scale-killer; the production path is
+    ``embedding_near_dup_pairs`` (banded sign-LSH + exact verify).
     """
     u = with_unit_norm(corpus, vec_col)
     a = u.select(F.col(id_col).alias("a"), F.col("_unit").alias("_va"))
@@ -147,6 +150,85 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(_dot(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos") >= tau)
+        .select("a", "b", "cos")
+    )
+
+
+def band_bucket_udf(planes: np.ndarray):
+    """pandas UDF: embedding -> array of per-band sign-LSH bucket codes.
+
+    ``planes`` has shape (bands, bits, dim); element i of the output is
+    band i's bucket in [0, 2^bits). One numpy matmul per Arrow batch —
+    no per-row Python, no per-plane Catalyst fold.
+    """
+    bands, bits, dim = planes.shape
+    flat = planes.reshape(bands * bits, dim).T  # (dim, bands*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (X @ flat >= 0).reshape(len(X), bands, bits)
+        codes = signs @ weights  # (n, bands)
+        return pd.Series(list(codes.astype(np.int64)))
+
+    return _buckets
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    bands: int = 32,
+    bits: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(a < b, cos >= tau) pairs: banded sign-LSH candidates + exact verify.
+
+    Candidate generation: ``bands`` independent ``bits``-bit hyperplane
+    sketches; a pair is a candidate iff it collides in >=1 band (equi-join
+    on (band, bucket) — no cartesian). Exact cosine verification keeps
+    only true pairs, so precision is 1.0; recall is 1-(1-p^bits)^bands
+    with p = 1 - theta/pi per hyperplane. ``bits`` defaults from tau:
+    low tau (far threshold) needs short band codes to keep per-band
+    collision probability up; high tau (true near-dup) affords longer
+    codes and therefore smaller buckets. The per-fixture recall of the
+    default (tau=0.4 -> bits=2, bands=32: miss ~1e-7/pair) is pinned by
+    the driver oracle at sf0.01.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if bits is None:
+        bits = 2 if tau < 0.6 else (4 if tau < 0.85 else 8)
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(bands, bits, dim))
+    u = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("_id"), F.col("_unit")
+    )
+    bucketed = u.withColumn(
+        "_bb", band_bucket_udf(planes)(F.col("_unit"))
+    ).select("_id", F.posexplode("_bb").alias("_band", "_bucket"))
+    a = bucketed.select(
+        F.col("_id").alias("a"), "_band", "_bucket"
+    )
+    b = bucketed.select(
+        F.col("_id").alias("b"), "_band", "_bucket"
+    )
+    cand = (
+        a.join(b, ["_band", "_bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = u.select(F.col("_id").alias("a"), F.col("_unit").alias("_va"))
+    vb = u.select(F.col("_id").alias("b"), F.col("_unit").alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
         .withColumn("cos", F.round(_dot(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cos") >= tau)
         .select("a", "b", "cos")

@@ -62,8 +62,42 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     )
 
 
+# alias graphs at or below this edge count run as a driver union-find:
+# the same_as graph is dim-bounded (aliased entities, not documents), and
+# the iterative star loop costs ~6s of SERIAL driver-coordination time per
+# call regardless of size — pure Amdahl drag on scaling. Above the bound,
+# the distributed O(log n)-round loop takes over.
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
+def _driver_union_find(pairs, nodes_iter):
+    """Path-compressed union-find; the smaller id stays root, so the
+    component label is the min member — same contract as the star loop.
+    (Ids are ASCII, so Python and Spark string orderings agree.)"""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            hi, lo = (ru, rv) if ru > rv else (rv, ru)
+            parent[hi] = lo
+    return [(n, find(n)) for n in nodes_iter]
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (node, component) with component = min id.
 
@@ -77,8 +111,22 @@ def connected_components(
         .distinct()
     )
     cur = all_edges.filter(F.col("u") != F.col("v")).distinct()
-    if cur.isEmpty():
+    n_edges = cur.count()
+    if n_edges == 0:
         return nodes.select("node", F.col("node").alias("component"))
+    if n_edges <= driver_max_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        spark = edges.sparkSession
+        labels = _driver_union_find(
+            ((r["u"], r["v"]) for r in cur.collect()),
+            (r["node"] for r in nodes.collect()),
+        )
+        ntype = nodes.schema["node"].dataType
+        schema = StructType(
+            [StructField("node", ntype), StructField("component", ntype)]
+        )
+        return spark.createDataFrame(labels, schema=schema)
     cur = cur.localCheckpoint(eager=True)
 
     def _fingerprint(df: DataFrame) -> tuple:

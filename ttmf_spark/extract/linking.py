@@ -44,3 +44,31 @@ def link_mentions(
     return mentions.join(resolved, "surface", "inner").select(
         "doc_id", "pos", "slot", "surface", "entity", "prior"
     )
+
+
+def link_entities_wide(
+    wide: DataFrame, gazetteer: DataFrame, slots: list[str],
+    broadcast_gazetteer: bool = True,
+) -> DataFrame:
+    """Rewrite each slot's surface column to its linked entity in place.
+
+    One broadcast left join per slot column — all hash probes against the
+    SAME dim-sized resolved map (one broadcast exchange, reused), fused
+    into a single codegen stage: the span stream never shuffles. An
+    unlinkable surface becomes NULL (== the narrow path's inner-join drop,
+    since every downstream rule filters null arguments).
+    """
+    resolved = resolve_surfaces(gazetteer).select("surface", "entity")
+    out = wide
+    for slot in slots:
+        m = resolved.select(
+            F.col("surface").alias("_surf"), F.col("entity").alias("_ent")
+        )
+        if broadcast_gazetteer:
+            m = F.broadcast(m)
+        out = (
+            out.join(m, out[slot] == F.col("_surf"), "left")
+            .withColumn(slot, F.col("_ent"))
+            .drop("_surf", "_ent")
+        )
+    return out

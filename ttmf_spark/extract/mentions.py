@@ -70,6 +70,49 @@ def detect_mentions(flat_spans: DataFrame) -> DataFrame:
     return flat_spans.select(*cols).mapInPandas(_detect_batch, schema=MENTION_SCHEMA)
 
 
+# wide (one-row-per-span) detection: every mention in a span shares
+# (doc_id, pos) and each slot captures AT MOST once per span
+# (``.str.extract`` yields a single capture group match), so the narrow
+# stream's downstream (doc_id, pos) pivot is the identity here. Emitting
+# the pivot directly from the UDF cuts the Arrow return traffic ~3x (one
+# wide row instead of up to 4 narrow rows + per-row key duplication) and
+# removes the 20M-row groupBy exchange from the hot path entirely.
+WIDE_SLOTS = ["order", "customer", "nation_c", "region", "part", "supplier",
+              "nation_s", "media_part"]
+
+WIDE_SCHEMA = "doc_id string, pos int, " + ", ".join(
+    f"{s} string" for s in WIDE_SLOTS
+)
+
+
+def _detect_batch_wide(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = pdf[["doc_id", "pos"]].copy()
+        text = pdf["text"].where(pdf["kind"].eq("text"))
+        caps_h = text.str.extract(_HEAD_RE)
+        for i, slot in enumerate(_HEAD_SLOTS):
+            out[slot] = caps_h[i]
+        caps_l = text.str.extract(_LINE_RE)
+        for i, slot in enumerate(_LINE_SLOTS):
+            out[slot] = caps_l[i]
+        media = pdf["media_ref"].where(
+            pdf["kind"].isin(["image", "audio", "video"])
+        )
+        scheme = media.str.extract(r"^media://(\w+)/")[0]
+        out["media_part"] = media.where(scheme.eq("part"))
+        out = out[out[WIDE_SLOTS].notna().any(axis=1)]
+        yield out.astype({"pos": "int32"})
+
+
+def detect_mentions_wide(flat_spans: DataFrame) -> DataFrame:
+    """(doc_id, pos, kind, text, media_ref) -> one row per mention-bearing
+    span with a surface column per rule slot (null = slot absent)."""
+    cols = ["doc_id", "pos", "kind", "text", "media_ref"]
+    return flat_spans.select(*cols).mapInPandas(
+        _detect_batch_wide, schema=WIDE_SCHEMA
+    )
+
+
 def flatten_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, spans) -> one row per span with its position."""
     return docs.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(

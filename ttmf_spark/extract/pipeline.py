@@ -10,10 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ttmf_spark.extract.assemble import assemble_triples
+from ttmf_spark.extract.assemble import assemble_triples_wide
 from ttmf_spark.extract.canonicalize import apply_canonical, canonical_map
-from ttmf_spark.extract.linking import link_mentions
-from ttmf_spark.extract.mentions import detect_mentions, flatten_docs
+from ttmf_spark.extract.linking import link_entities_wide
+from ttmf_spark.extract.mentions import WIDE_SLOTS, detect_mentions_wide, flatten_docs
 
 
 def extract_triples(
@@ -30,9 +30,16 @@ def extract_triples(
     downstream adjacency builds (write-side: partitionBy(bucket(s)) on
     Iceberg; parquet fallback here).
     """
-    mentions = detect_mentions(flatten_docs(docs))
-    linked = link_mentions(mentions, gazetteer)
-    triples = assemble_triples(linked.select("doc_id", "pos", "slot", "entity"))
+    # wide path: one row per mention-bearing span (slot -> surface columns),
+    # per-slot broadcast linking, rules via one explode. The span stream
+    # shuffles exactly twice end-to-end: the doc_id repartition for the
+    # contains window, and the final distinct. (The narrow
+    # detect_mentions/link_mentions/assemble_triples ops remain the
+    # mention-level API; both produce identical triples — see
+    # tests/test_extract.py wide/narrow parity.)
+    wide = detect_mentions_wide(flatten_docs(docs))
+    linked = link_entities_wide(wide, gazetteer, WIDE_SLOTS)
+    triples = assemble_triples_wide(linked)
     if same_as is not None:
         mapping = canonical_map(same_as)
         triples = apply_canonical(triples, mapping, ["s", "o"]).distinct()

@@ -15,9 +15,10 @@ Reference semantics re-expressed:
 
 Scale notes: dictionaries are dim-sized (#distinct entities), so encoding
 is a broadcast join against the triple stream — the 10^12-row fact side
-never shuffles. Dense-id assignment uses a single global sort of the dim
-table (zipWithIndex-free: row_number over an empty-frame window is fine at
-dim scale; the fact table is untouched).
+never shuffles. Dense-id assignment is fully distributed (``dense_ids``):
+range-partition by name, partition-local row_number, plus per-partition
+offsets — no single-partition global window even at 10^9 entities
+(round-2 fix for the "No Partition Defined for Window" scale-killer).
 """
 
 from __future__ import annotations
@@ -27,6 +28,33 @@ from pyspark.sql import functions as F
 
 UNK_ENT = "UNKENT"
 UNK_REL = "UNKREL"
+
+
+def dense_ids(names: DataFrame, col: str = "name", num_partitions: int | None = None) -> DataFrame:
+    """Distinct ``col`` values -> (col, id) with dense name-ordered ids 0..n-1.
+
+    Distributed rank: repartitionByRange(col) gives globally ordered
+    partitions; a partition-LOCAL row_number (window keyed on the partition
+    id) plus broadcast per-partition offsets yields the global dense rank.
+    The only non-local step is the offsets frame — one row per partition.
+    Output ids equal ``row_number() over (order by col) - 1`` for any input
+    partitioning (names are distinct, so the rank is unambiguous).
+    """
+    spark = names.sparkSession
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = names.repartitionByRange(n_parts, F.col(col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(col)
+    local = parted.withColumn("_lidx", F.row_number().over(w_local) - 1)
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return local.join(F.broadcast(offsets), "_pid").select(
+        col, (F.col("_lidx") + F.col("_off")).cast("long").alias("id")
+    )
 
 
 def entity_dim(train: DataFrame) -> DataFrame:
@@ -39,19 +67,13 @@ def entity_dim(train: DataFrame) -> DataFrame:
         .unionByName(train.select(F.col("o").alias("name")))
         .distinct()
     )
-    w = Window.orderBy("name")
-    return names.withColumn("id", F.row_number().over(w) - F.lit(1).cast("int")).select(
-        "name", F.col("id").cast("long").alias("id")
-    )
+    return dense_ids(names, "name")
 
 
 def relation_dim(train: DataFrame) -> DataFrame:
     """Distinct train relations -> (name, id). Reference: process_triples.py:84."""
     names = train.select(F.col("p").alias("name")).distinct()
-    w = Window.orderBy("name")
-    return names.withColumn("id", F.row_number().over(w) - F.lit(1).cast("int")).select(
-        "name", F.col("id").cast("long").alias("id")
-    )
+    return dense_ids(names, "name")
 
 
 def encode_triples(

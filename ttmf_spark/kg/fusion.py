@@ -30,8 +30,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-# fusion feature layout: [trans_conf, rr(6), (score, len) x top-3 paths]
-N_FEATURES = 1 + 6 + 2 * 3
+# fusion feature layout:
+# [trans_conf, rr(6), (score, len, rel_align) x top-3 paths]
+# rel_align is the path-CONTENT summary (paths.path_align_udf) standing in
+# for the reference's RNN token-sequence branches (Model1.py:23-160).
+N_FEATURES = 1 + 6 + 3 * 3
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
@@ -130,10 +133,13 @@ FEATURE_COLS = [
     "rr_features",
     "path1_score",
     "path1_len",
+    "path1_align",
     "path2_score",
     "path2_len",
+    "path2_align",
     "path3_score",
     "path3_len",
+    "path3_align",
 ]
 
 
@@ -146,20 +152,24 @@ def feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
 
 
 def attach_path_summary(triples: DataFrame, ranked: DataFrame) -> DataFrame:
-    """Add path{k}_score/len columns (k=1..3) from the ranked-path table;
-    missing paths score 0.0 / len 0 (absent path file, PrecessData.py:185)."""
+    """Add path{k}_score/len/align columns (k=1..3) from the ranked-path
+    table; missing paths get 0.0 (absent path file, PrecessData.py:185)."""
     out = triples
     for k in (1, 2, 3):
         pk = ranked.filter(F.col("line") == k).select(
             "h", "t", "r",
             F.col("score").alias(f"path{k}_score"),
             F.col("len").alias(f"path{k}_len"),
+            F.col("rel_align").alias(f"path{k}_align"),
         )
         out = out.join(pk, ["h", "t", "r"], "left")
-        out = out.withColumn(
-            f"path{k}_score", F.coalesce(f"path{k}_score", F.lit(0.0))
-        ).withColumn(
-            f"path{k}_len", F.coalesce(F.col(f"path{k}_len").cast("double"), F.lit(0.0))
+        out = (
+            out.withColumn(f"path{k}_score", F.coalesce(f"path{k}_score", F.lit(0.0)))
+            .withColumn(
+                f"path{k}_len",
+                F.coalesce(F.col(f"path{k}_len").cast("double"), F.lit(0.0)),
+            )
+            .withColumn(f"path{k}_align", F.coalesce(f"path{k}_align", F.lit(0.0)))
         )
     return out
 

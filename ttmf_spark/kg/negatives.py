@@ -17,7 +17,7 @@ shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # bounded rejection sampling: probability that k independent draws all
@@ -27,11 +27,11 @@ N_ATTEMPTS = 8
 
 
 def _indexed_pool(entities: DataFrame) -> DataFrame:
-    """(name) -> (idx, name) with dense 0..n-1 index (dim-sized sort)."""
-    w = Window.orderBy("name")
-    return entities.select("name").distinct().select(
-        (F.row_number().over(w) - 1).cast("long").alias("_idx"), F.col("name")
-    )
+    """(name) -> (idx, name) with dense 0..n-1 index (distributed rank)."""
+    from ttmf_spark.kg.encode import dense_ids
+
+    pool = dense_ids(entities.select("name").distinct(), "name")
+    return pool.select(F.col("id").alias("_idx"), "name")
 
 
 def tc_pairs(triples: DataFrame, seed: int = 17) -> DataFrame:
@@ -124,23 +124,41 @@ def tc_pairs_ids(id_triples: DataFrame, n_ent: int, seed: int = 17) -> DataFrame
     return pos.unionByName(neg)
 
 
+def _portable_hash(cols, seed: int, fn: str):
+    """xxhash64 (production) or the md5 60-bit trick (byte-identical in
+    DuckDB: ``('0x'||substr(md5(seed||'|'||a||'|'||b),1,15))::BIGINT``)."""
+    if fn == "xxhash64":
+        return F.xxhash64(*cols, F.lit(seed))
+    joined = F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+
+
 def kgc_candidates(
-    test2id: DataFrame, target: str, pool_size: int, incorrect_count: int = 5, seed: int = 23
+    test2id: DataFrame,
+    target: str,
+    pool_size: int,
+    incorrect_count: int = 5,
+    seed: int = 23,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """KGC candidate sets (reference process_triples.py:35-63, hr_/h_t/_rt).
 
     ``target`` in {'h', 'r', 't'}: group test triples by the two non-target
-    columns, keep the first triple per group (A2 dedup), then emit
+    columns, keep the MINIMUM target per group (A2 dedup — the reference
+    keeps pandas groupby().first(), i.e. file order; file order does not
+    exist under arbitrary partitioning, so the documented tie rule here is
+    min(target): deterministic under any partitioning, and identical to the
+    reference whenever a (h, r) group has a single triple). Then emit
     ``incorrect_count`` hash-derived fills of the target slot (ids drawn
     uniformly from [0, pool_size) — the reference draws ids from the full
     dictionary range, NOT rejecting collisions with the truth) plus the true
     value, all flagged 1.
     """
     others = [c for c in ("h", "t", "r") if c != target]
-    first = test2id.groupBy(*others).agg(F.first(target).alias(target))
+    first = test2id.groupBy(*others).agg(F.min(target).alias(target))
     fills = F.array(
         *[
-            F.pmod(F.xxhash64(*others, F.lit(seed + i)), F.lit(pool_size))
+            F.pmod(_portable_hash(others, seed + i, hash_fn), F.lit(pool_size))
             for i in range(incorrect_count)
         ]
     )

@@ -88,9 +88,9 @@ def _jacobi(
     pr[core_ix] = 1.0
     dv = (1.0 - damping) / n
     for _ in range(max_iter):
-        contrib = np.zeros(n)
-        np.add.at(contrib, dst, damping * pr[src] * w)
-        new = contrib + dv
+        # bincount is the buffered scatter-add (np.add.at is unbuffered and
+        # ~10x slower — it was the hot inner loop of the 23s round-1 stage)
+        new = np.bincount(dst, weights=damping * pr[src] * w, minlength=n) + dv
         if np.abs(new - pr).sum() < min_delta:
             pr = new
             break
@@ -105,22 +105,61 @@ def pagerank_grouped(
 
     def _one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         core = key[0]
-        nodes = np.unique(np.concatenate([pdf["src"].values, pdf["dst"].values, [core]]))
-        ix = {int(v): i for i, v in enumerate(nodes)}
-        src = pdf["src"].map(ix).values.astype(np.int64)
-        dst = pdf["dst"].map(ix).values.astype(np.int64)
+        sv = pdf["src"].to_numpy(dtype=np.int64)
+        dv_ = pdf["dst"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([sv, dv_, [core]]))
+        # nodes is sorted -> searchsorted is the vectorized id->index map
+        src = np.searchsorted(nodes, sv)
+        dst = np.searchsorted(nodes, dv_)
         pr = _jacobi(
             len(nodes),
-            ix[int(core)],
+            int(np.searchsorted(nodes, core)),
             src,
             dst,
-            pdf["w"].values.astype(np.float64),
+            pdf["w"].to_numpy(dtype=np.float64),
             max_iter=max_iter,
             min_delta=min_delta,
         )
         return pd.DataFrame({"core": core, "node": nodes.astype(np.int64), "pr": pr})
 
     return patched.groupBy("core").applyInPandas(_one, schema=PR_SCHEMA)
+
+
+def pagerank_routed(
+    patched: DataFrame,
+    sg_nodes: DataFrame,
+    hub_edge_bound: int = 2_000_000,
+    max_iter: int = MAX_ITER,
+    min_delta: float = MIN_DELTA,
+) -> DataFrame:
+    """Hub-safe PageRank: per-core edge counts route each subgraph.
+
+    Cores with <= ``hub_edge_bound`` edges go through the grouped Arrow
+    kernel (one small numpy problem per core — the common case); cores
+    whose 4-hop subgraph explodes past the bound (a core within reach of a
+    hub entity) would OOM a single Arrow group, so they run through the
+    all-DataFrame ``pagerank_iterative`` path instead (SCALE.md routing
+    rule, round-2 implementation). Both paths share patch semantics and
+    the fixpoint, so the union is seamless.
+    """
+    sizes = patched.groupBy("core").agg(F.count("*").alias("_n_edges"))
+    big_cores = sizes.filter(F.col("_n_edges") > hub_edge_bound).select("core")
+    n_big = big_cores.count()
+    if n_big == 0:
+        return pagerank_grouped(patched, max_iter=max_iter, min_delta=min_delta)
+    big_cores = F.broadcast(big_cores.localCheckpoint(eager=True))
+    small = pagerank_grouped(
+        patched.join(big_cores, "core", "left_anti"),
+        max_iter=max_iter,
+        min_delta=min_delta,
+    )
+    big = pagerank_iterative(
+        patched.join(big_cores, "core", "left_semi"),
+        sg_nodes.join(big_cores, "core", "left_semi"),
+        max_iter=max_iter,
+        min_delta=min_delta,
+    )
+    return small.unionByName(big)
 
 
 def pagerank_iterative(

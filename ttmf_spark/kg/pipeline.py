@@ -107,7 +107,7 @@ def build_context(
     )
     sg_nodes = graph.subgraph_nodes(sg_edges, cores)
     patched = pagerank.patched_edges(sg_edges, sg_nodes)
-    ranks = ck("entity_rank", lambda: pagerank.pagerank_grouped(patched))
+    ranks = ck("entity_rank", lambda: pagerank.pagerank_routed(patched, sg_nodes))
 
     rr_th = rrank.rr_thresholds(dev_pairs, ranks)
     degrees = graph.subgraph_degrees(sg_edges)
@@ -131,9 +131,10 @@ def build_context(
     seeds = all_queries.select("h").distinct()
     cand = paths.enumerate_paths(ex_edges, seeds)
     score_udf = paths.path_score_udf(spark, ent_emb, rel_emb)
+    align_udf = paths.path_align_udf(spark, rel_emb)
     ranked = ck(
         "ranked_paths",
-        lambda: paths.ranked_paths(cand, all_queries, score_udf),
+        lambda: paths.ranked_paths(cand, all_queries, score_udf, align_udf),
     )
 
     ctx = FeatureContext(
@@ -224,10 +225,20 @@ def score_triples(
     return names.select("s", "p", "o", "conf", "trans_conf", "rr_features"), model
 
 
-def lowest_confidence(scored: DataFrame, k: int = 100, threshold: float | None = None) -> DataFrame:
+def lowest_confidence(
+    scored: DataFrame,
+    k: int = 100,
+    threshold: float | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
     """Error report (reference find_errors.py:54-67): optional conf<theta
-    filter (P5) + global bottom-k (W5, TakeOrderedAndProject)."""
+    filter (P5) + global bottom-k (W5, TakeOrderedAndProject).
+
+    ``tie_cols`` pins the order among equal-conf rows (the reference's
+    list sort is stable on file order, which has no distributed analogue).
+    """
     out = scored
     if threshold is not None:
         out = out.filter(F.col("conf") < threshold)
-    return out.orderBy(F.col("conf").asc()).limit(k)
+    order = [F.col("conf").asc()] + [F.col(c).asc() for c in (tie_cols or [])]
+    return out.orderBy(*order).limit(k)

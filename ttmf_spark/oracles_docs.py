@@ -112,17 +112,22 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY 1)
 """
 
 
-def doc_jaccard_pairs_sql(tau: float = 0.8, n: int = 3) -> str:
+def doc_jaccard_pairs_sql(tau: float = 0.8, n: int = 3, max_df: int = 100) -> str:
+    """Mirrors dedup.jaccard_pairs(max_df=...): hot-shingle pruning happens
+    BEFORE sizes and overlaps (same stopword-removal semantics)."""
     return f"""
 WITH {_SHINGLES.format(n=n).strip()},
+keep AS (SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= {max_df}),
+sh3 AS (SELECT s.doc_id, s.shingle FROM sh2 s JOIN keep k ON s.shingle = k.shingle),
+sizes3 AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY 1),
 ov AS (
   SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
-  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT ov.a, ov.b,
        ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
-FROM ov JOIN sizes sa ON ov.a = sa.doc_id JOIN sizes sb ON ov.b = sb.doc_id
+FROM ov JOIN sizes3 sa ON ov.a = sa.doc_id JOIN sizes3 sb ON ov.b = sb.doc_id
 WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= {tau}
 """
 

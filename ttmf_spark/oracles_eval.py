@@ -1,0 +1,193 @@
+"""DuckDB oracle SQL for the scoring/evaluation layer (SURVEY.md §2.8-2.9).
+
+These mirror the hash-derived fixtures in ttmf_spark.queries
+(q_kg_kgc_candidates, q_kg_link_prediction, ...): the portable md5-60bit
+hash is byte-identical in both engines, so the REAL Spark evaluation /
+fusion operators are value-compared against plain relational SQL.
+
+Seeds/shape must stay in lockstep with queries.py:
+  test split 11 (mod 5), kgc fills 23..27, lp fills 100..149, lp conf 7,
+  pair flag 3, pair conf 5, fusion features 21..27 / 31-33 / 41-43 /
+  51-53, fusion weights (i+1)/10, bias 1.7.
+"""
+
+from __future__ import annotations
+
+from ttmf_spark.oracles_kg import KG_BASE
+
+
+def _hx(seed: int, cols: str) -> str:
+    """Portable 60-bit md5 hash of '|'-joined columns (Spark queries._h)."""
+    parts = " || '|' || ".join(c for c in cols.split(","))
+    return f"('0x' || substr(md5('{seed}' || '|' || {parts}), 1, 15))::BIGINT"
+
+
+_TEST = f"test AS (SELECT h, r, t FROM idt WHERE {_hx(11, 'h,r,t')} % 5 = 0)"
+_N = "n AS (SELECT COUNT(*) AS c FROM ent)"
+
+
+def kg_kgc_candidates_sql(incorrect_count: int = 5, seed: int = 23) -> str:
+    fills = "\nUNION ALL ".join(
+        f"SELECT f.h, {_hx(seed + i, 'f.h,f.r')} % n.c AS t, f.r FROM firsts f, n"
+        for i in range(incorrect_count)
+    )
+    return f"""
+WITH {KG_BASE.strip()},
+{_TEST},
+firsts AS (SELECT h, r, MIN(t) AS t FROM test GROUP BY h, r),
+{_N}
+SELECT h, t, r, 1 AS flag FROM (
+{fills}
+UNION ALL SELECT h, t, r FROM firsts
+) cand
+"""
+
+
+_LP_FILLS = 50
+
+
+def _lp_ranked() -> str:
+    fills = "\nUNION ALL ".join(
+        f"SELECT q.h, q.r, q.t_true, {_hx(100 + i, 'q.h,q.r')} % n.c AS t FROM qs q, n"
+        for i in range(_LP_FILLS)
+    )
+    return f"""
+{_TEST},
+qs AS (SELECT h, r, MIN(t) AS t_true FROM test GROUP BY h, r),
+{_N},
+cand AS (SELECT DISTINCT h, r, t_true, t FROM (
+{fills}
+UNION ALL SELECT h, r, t_true, t_true AS t FROM qs
+) f),
+scored AS (
+  SELECT h, r, t, (t = t_true) AS is_true,
+         ({_hx(7, 'h,r,t')} % 1000000) / 1e6 AS conf
+  FROM cand
+),
+filtered AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN (SELECT DISTINCT h, r, t FROM idt) g
+    ON s.h = g.h AND s.r = g.r AND s.t = g.t
+  WHERE s.is_true OR g.h IS NULL
+),
+ranked AS (
+  SELECT h, r, is_true,
+         ROW_NUMBER() OVER (PARTITION BY h, r ORDER BY conf DESC, t ASC) AS rnk
+  FROM filtered
+)
+"""
+
+
+def kg_link_prediction_sql() -> str:
+    return (
+        f"WITH {KG_BASE.strip()},\n{_lp_ranked().strip()}\n"
+        'SELECT h, r, rnk AS "rank" FROM ranked WHERE is_true'
+    )
+
+
+def kg_rank_metrics_sql() -> str:
+    return f"""
+WITH {KG_BASE.strip()},
+{_lp_ranked().strip()}
+SELECT
+  ROUND(AVG(CASE WHEN rnk <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+  ROUND(AVG(CASE WHEN rnk <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10,
+  ROUND(AVG(CAST(rnk AS DOUBLE)), 6) AS mean_rank,
+  ROUND(AVG(1.0 / rnk), 6) AS mrr
+FROM ranked WHERE is_true
+"""
+
+
+_PAIRS = f"""
+pairs AS (
+  SELECT h, r, t,
+         CASE WHEN {_hx(3, 'h,r,t')} % 2 = 0 THEN 1 ELSE -1 END AS flag,
+         ({_hx(5, 'h,r,t')} % 1000000) / 1e6 AS conf
+  FROM idt
+)
+"""
+
+
+def kg_accuracy_sql() -> str:
+    return f"""
+WITH {KG_BASE.strip()},
+{_PAIRS.strip()}
+SELECT ROUND(AVG(CASE WHEN (conf >= 0.5 AND flag = 1)
+                        OR (conf < 0.5 AND flag = -1)
+                      THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+       COUNT(*) AS n
+FROM pairs
+"""
+
+
+def kg_pr_sweep_sql() -> str:
+    p = "(tp / (pred_pos + 0.00001))"
+    r = "(tp / (pos + 0.00001))"
+    return f"""
+WITH {KG_BASE.strip()},
+{_PAIRS.strip()},
+th AS (SELECT ROUND(0.01 + i * 0.02, 6) AS threshold FROM range(50) tbl(i)),
+agg AS (
+  SELECT threshold,
+         SUM(CASE WHEN conf >= threshold AND flag = 1 THEN 1.0 ELSE 0.0 END) AS tp,
+         SUM(CASE WHEN conf >= threshold THEN 1.0 ELSE 0.0 END) AS pred_pos,
+         SUM(CASE WHEN flag = 1 THEN 1.0 ELSE 0.0 END) AS pos
+  FROM pairs CROSS JOIN th GROUP BY threshold
+)
+SELECT ROUND(threshold, 6) AS threshold,
+       ROUND({p}, 6) AS "precision",
+       ROUND({r}, 6) AS recall,
+       ROUND(2 * {p} * {r} / ({p} + {r} + 0.00001), 6) AS f1
+FROM agg
+"""
+
+
+# fusion feature expressions (seeds in lockstep with queries._fusion_features)
+def _feats() -> str:
+    rr = ",\n         ".join(
+        f"({_hx(22 + j, 'h,r,t')} % 1000) / 1000.0 AS rr{j + 1}" for j in range(6)
+    )
+    pk = ",\n         ".join(
+        f"({_hx(30 + k, 'h,r,t')} % 1000) / 1000.0 AS p{k}s,\n"
+        f"         CAST({_hx(40 + k, 'h,r,t')} % 4 AS DOUBLE) AS p{k}l,\n"
+        f"         ({_hx(50 + k, 'h,r,t')} % 1000) / 1000.0 AS p{k}a"
+        for k in (1, 2, 3)
+    )
+    return f"""
+feats AS (
+  SELECT h, r, t,
+         ({_hx(21, 'h,r,t')} % 1000) / 1000.0 AS tc,
+         {rr},
+         {pk}
+  FROM idt
+)
+"""
+
+
+# z in EXACT feature_matrix order:
+# trans_conf, rr(6), (score, len, align) x3, bias
+_Z = (
+    "0.1*tc + 0.2*rr1 + 0.3*rr2 + 0.4*rr3 + 0.5*rr4 + 0.6*rr5 + 0.7*rr6"
+    " + 0.8*p1s + 0.9*p1l + 1.0*p1a + 1.1*p2s + 1.2*p2l + 1.3*p2a"
+    " + 1.4*p3s + 1.5*p3l + 1.6*p3a + 1.7"
+)
+
+
+def kg_fusion_conf_sql() -> str:
+    return f"""
+WITH {KG_BASE.strip()},
+{_feats().strip()}
+SELECT h, r, t, ROUND(1.0 / (1.0 + exp(-({_Z}))), 6) AS conf FROM feats
+"""
+
+
+def kg_lowest_conf_sql(k: int = 100, theta: float = 0.9) -> str:
+    return f"""
+WITH {KG_BASE.strip()},
+{_feats().strip()},
+scored AS (
+  SELECT h, r, t, ROUND(1.0 / (1.0 + exp(-({_Z}))), 6) AS conf FROM feats
+)
+SELECT h, r, t, conf FROM scored WHERE conf < {theta}
+ORDER BY conf, h, r, t LIMIT {k}
+"""

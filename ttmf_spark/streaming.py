@@ -13,9 +13,19 @@ already-emitted triples with an anti-join against the sink before
 appending. Spark's checkpointLocation gives exactly-once file-source
 progress tracking; the anti-join makes the append idempotent even across
 manual re-runs.
+
+Scale: the sink is hash-bucketed on (s, p, o) into ``n_buckets``
+partition directories, and the anti-join key includes the bucket — both
+sides hash-partition identically, so each task probes only its own
+1/n_buckets slice of sink history instead of the whole table (round-2
+fix for the grows-with-history anti-join). Production swaps the
+partitioned-parquet sink for an Iceberg table with a bucket(s,p,o)
+partition transform and a MERGE.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +55,7 @@ def incremental_extract(
     gazetteer: DataFrame,
     same_as: DataFrame | None = None,
     trigger_once: bool = True,
+    n_buckets: int = 64,
 ):
     """Start the incremental extraction query; returns the StreamingQuery.
 
@@ -55,13 +66,25 @@ def incremental_extract(
     same = same_as.localCheckpoint(eager=True) if same_as is not None else None
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        triples = extract_triples(batch_df, gaz, same)
-        try:
-            existing = spark.read.parquet(output_path).select("s", "p", "o")
-            fresh = triples.join(existing, ["s", "p", "o"], "left_anti")
-        except Exception:  # first batch: sink does not exist yet
+        triples = extract_triples(batch_df, gaz, same).withColumn(
+            "bucket", F.pmod(F.xxhash64("s", "p", "o"), F.lit(n_buckets))
+        )
+        # explicit existence check: a transient read error must propagate,
+        # not silently disable dedup (it would duplicate the whole batch)
+        if os.path.exists(os.path.join(output_path, "_SUCCESS")) or any(
+            e.startswith("bucket=") for e in (
+                os.listdir(output_path) if os.path.isdir(output_path) else []
+            )
+        ):
+            existing = spark.read.parquet(output_path).select(
+                "bucket", "s", "p", "o"
+            )
+            fresh = triples.join(
+                existing, ["bucket", "s", "p", "o"], "left_anti"
+            )
+        else:  # first batch: sink does not exist yet
             fresh = triples
-        fresh.write.mode("append").parquet(output_path)
+        fresh.write.mode("append").partitionBy("bucket").parquet(output_path)
 
     writer = (
         stream_docs(spark, input_dir)
