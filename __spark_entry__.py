@@ -83,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracles_kg.kg_degrees_sql(),
         "kg_paths": oracles_kg.kg_paths_sql(),
         "kg_threshold_scan": oracles_kg.kg_threshold_scan_sql(),
+        "kg_tc_pairs": oracles_eval.kg_tc_pairs_sql(),
         "kg_kgc_candidates": oracles_eval.kg_kgc_candidates_sql(),
         "kg_link_prediction": oracles_eval.kg_link_prediction_sql(),
         "kg_rank_metrics": oracles_eval.kg_rank_metrics_sql(),
@@ -98,9 +99,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": oracles_docs.doc_jaccard_pairs_sql(),
         "doc_minhash_pairs": oracles_docs.doc_minhash_pairs_sql(),
         "doc_simhash": oracles_docs.doc_simhash_sql(),
+        "doc_simhash_near_dup": oracles_docs.doc_simhash_near_dup_sql(),
         "emb_topk": oracles_docs.emb_topk_sql(),
         "emb_near_dup": oracles_docs.emb_near_dup_sql(),
-        # rows-only (no oracle): kg_pagerank, kg_tc_pairs, kg_score_e2e
-        # (trained TransE + fitted fusion), doc_simhash_near_dup,
-        # emb_lsh_topk, media_features
+        # rows-only (no oracle): kg_pagerank, kg_score_e2e (trained TransE
+        # + fitted fusion), emb_lsh_topk, media_features
     }

@@ -74,8 +74,10 @@ SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
 BENCH_CONF = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
     # small files at bench scale: default 128m splits + 4m open cost give
-    # < cores scan tasks; at 100 TB the defaults are right
-    "spark.sql.files.maxPartitionBytes": "8m",
+    # < cores scan tasks (the 118 MB docs fixture must split into >= 4x32
+    # tasks or the detect stage leaves most of local[32] idle); at 100 TB
+    # the defaults are right
+    "spark.sql.files.maxPartitionBytes": "1m",
     "spark.sql.files.openCostInBytes": "0",
 }
 
@@ -104,12 +106,15 @@ def _hw_ceiling(base: int, big: int, tasks_per_proc: int = 6) -> float | None:
     import multiprocessing as mp
     import time as _time
 
+    # spawn, not fork: forked children inherit the py4j gateway socket and
+    # reset it on exit, breaking later JVM calls in the driver
+    ctx = mp.get_context("spawn")
     full = sorted(os.sched_getaffinity(0))
     rates = {}
     try:
         for procs in (base, big):
             os.sched_setaffinity(0, range(procs))
-            with mp.Pool(procs) as p:
+            with ctx.Pool(procs) as p:
                 t0 = _time.perf_counter()
                 p.map(_hw_ceiling_work, range(procs * tasks_per_proc))
                 rates[procs] = procs * tasks_per_proc / (
@@ -154,10 +159,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # q1: KG construction (extract -> link -> canonicalize -> write)
+    # q1: KG construction (extract -> link -> canonicalize -> write).
+    # min of 2 runs: the first run on this sandbox pays host-side lazy
+    # page-fault-in (see scaling methodology), not pipeline cost.
     out_path = os.path.join(WORK, "triples_out.parquet")
-    dt, n_triples = _run_extract(spark, docs_path, SF_DIR, out_path)
+    dt1, n_triples = _run_extract(spark, docs_path, SF_DIR, out_path)
+    dt2, _ = _run_extract(spark, docs_path, SF_DIR, out_path)
+    dt = min(dt1, dt2)
     timings["kg_construct_e2e"] = dt
+    extras["kg_construct_runs"] = [round(dt1, 2), round(dt2, 2)]
     extras["triples_out"] = n_triples
     extras["extract_triples_per_sec"] = n_triples / dt
 
@@ -310,7 +320,7 @@ def main() -> None:
                 "sf": os.path.basename(SF_DIR),
                 "cpus": CPUS,
                 "extras": {
-                    k: (v if isinstance(v, dict) else round(v, 3))
+                    k: (round(v, 3) if isinstance(v, (int, float)) else v)
                     for k, v in extras.items()
                 },
             }

@@ -420,3 +420,26 @@ def test_embeddings_sink_roundtrip(spark):
     assert sorted(rows) == list(range(7))
     for i in range(7):
         assert np.array_equal(rows[i], mat[i])
+
+
+def test_energy_join_matches_broadcast(spark, tiny_ids):
+    """Beyond-broadcast energy path: (id, vec) table joins + zip_with
+    reproduce the broadcast-matrix UDF energies (float32 table tolerance)."""
+    _, _, ids = tiny_ids
+    rng = np.random.default_rng(5)
+    ent = rng.normal(size=(5, transe.DIM)).astype(np.float32)
+    rel = rng.normal(size=(2, transe.DIM)).astype(np.float32)
+    udf = transe.transe_energy_col(spark, ent, rel)
+    base = {
+        (r["h"], r["r"], r["t"]): r["energy"]
+        for r in transe.add_transe_energy(ids, udf).collect()
+    }
+    edf = transe.embeddings_to_df(spark, ent)
+    rdf = transe.embeddings_to_df(spark, rel)
+    got = {
+        (r["h"], r["r"], r["t"]): r["energy"]
+        for r in transe.add_transe_energy_join(ids, edf, rdf).collect()
+    }
+    assert set(got) == set(base)
+    for k, v in base.items():
+        assert got[k] == pytest.approx(v, rel=1e-4)

@@ -268,8 +268,18 @@ def simhash_near_dup(
 ) -> DataFrame:
     """Pairs within ``max_hamming`` SimHash bits, via 4-block bucketing
     (pigeonhole: <=3 differing bits => at least one of 4 16-bit blocks is
-    equal) + exact popcount verify."""
+    equal) + exact popcount verify.
+
+    Pigeonhole soundness: pairs within ``max_hamming`` differing bits are
+    guaranteed a shared block only when the hash's 63 used bits partition
+    into ``max_hamming + 1`` blocks — so the block count follows the
+    threshold (the earlier fixed 4x16 scheme silently lost recall for any
+    max_hamming > 3; caught when the exact DuckDB oracle replaced the
+    rows-only check)."""
     sh = simhash64(docs, text_col, id_col, hash_fn)
+    n_blocks = max_hamming + 1
+    # contiguous cover of bits 0..62 (bit 63 is always 0 by construction)
+    bounds = [round(i * 63 / n_blocks) for i in range(n_blocks + 1)]
     blocks = sh.select(
         id_col,
         "simhash",
@@ -278,9 +288,11 @@ def simhash_near_dup(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                        F.shiftrightunsigned("simhash", bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                        .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("bb"),

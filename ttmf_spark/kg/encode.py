@@ -46,12 +46,24 @@ def dense_ids(names: DataFrame, col: str = "name", num_partitions: int | None = 
         "_pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("_pid").orderBy(col)
-    local = parted.withColumn("_lidx", F.row_number().over(w_local) - 1)
+    # materialize ONCE: repartitionByRange samples its boundaries per
+    # execution, so the counts collect below and the final join MUST read
+    # the same physical partitioning or offsets won't line up
+    local = parted.withColumn(
+        "_lidx", F.row_number().over(w_local) - 1
+    ).localCheckpoint(eager=True)
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-    ).select("_pid", "_off")
+    # offsets = exclusive cumsum of per-partition counts: <= n_parts rows,
+    # so the driver does it (a global window over even a tiny frame logs
+    # the single-partition WindowExec warning and confuses plan audits)
+    acc = 0
+    offs = []
+    for r in sorted(counts.collect(), key=lambda r: r["_pid"]):
+        offs.append((int(r["_pid"]), acc))
+        acc += int(r["_cnt"])
+    offsets = spark.createDataFrame(
+        offs or [(0, 0)], schema="_pid int, _off long"
+    )
     return local.join(F.broadcast(offsets), "_pid").select(
         col, (F.col("_lidx") + F.col("_off")).cast("long").alias("id")
     )

@@ -91,20 +91,24 @@ def tc_pairs(triples: DataFrame, seed: int = 17) -> DataFrame:
     return pos.unionByName(neg)
 
 
-def tc_pairs_ids(id_triples: DataFrame, n_ent: int, seed: int = 17) -> DataFrame:
+def tc_pairs_ids(
+    id_triples: DataFrame, n_ent: int, seed: int = 17, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Id-level pos/neg pairs (h, t, r, flag, seq) — Data.java semantics on
     already-encoded triples; the corruption pool is the full dense entity id
     range [0, n_ent) so no pool join is needed at all: the draw IS the id.
+    ``hash_fn='md5'`` is the DuckDB-portable variant (oracle parity).
     """
+    hrt = ["h", "r", "t"]
     base = id_triples.withColumn(
-        "_row", F.pmod(F.xxhash64("h", "r", "t", F.lit(seed)), F.lit(1 << 61))
+        "_row", F.pmod(_portable_hash(hrt, seed, hash_fn), F.lit(1 << 61))
     ).withColumn("_side", (F.pmod(F.col("_row"), F.lit(2)) == 0))
     cand = F.coalesce(
         *[
             F.when(
-                (F.pmod(F.xxhash64("h", "r", "t", F.lit(seed + 1 + i)), F.lit(n_ent)) != F.col("h"))
-                & (F.pmod(F.xxhash64("h", "r", "t", F.lit(seed + 1 + i)), F.lit(n_ent)) != F.col("t")),
-                F.pmod(F.xxhash64("h", "r", "t", F.lit(seed + 1 + i)), F.lit(n_ent)),
+                (F.pmod(_portable_hash(hrt, seed + 1 + i, hash_fn), F.lit(n_ent)) != F.col("h"))
+                & (F.pmod(_portable_hash(hrt, seed + 1 + i, hash_fn), F.lit(n_ent)) != F.col("t")),
+                F.pmod(_portable_hash(hrt, seed + 1 + i, hash_fn), F.lit(n_ent)),
             )
             for i in range(N_ATTEMPTS)
         ],

@@ -285,7 +285,7 @@ def fit_embeddings_distributed(
     is bounded by touched rows (<= 5x shard triples), never |V| x S; the
     aggregated pull is <= model-sized. The model itself stays dim-bounded
     and driver-resident (SURVEY.md M4 scope; an embedding-TABLE variant
-    for |V| beyond driver memory is the documented next step).
+    for |V| beyond driver memory is ``add_transe_energy_join``).
 
     Reference: KGE/src/approaches/TransE.java:245-356 trains single-node;
     this is the multi-executor re-expression, seeded and deterministic
@@ -293,7 +293,14 @@ def fit_embeddings_distributed(
     """
     spark = id_triples.sparkSession
     if n_shards is None:
-        n_shards = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        # size shards by data: each delta row costs dim floats across the
+        # shuffle, and every shard emits a row per touched id — 64 shards
+        # on a 75k-triple input would move 16x the deltas of 4 shards for
+        # zero extra parallelism benefit. ~100k triples per shard, capped
+        # by the session's shuffle parallelism.
+        cap = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        n_total = id_triples.count()
+        n_shards = int(max(1, min(cap, -(-n_total // 100_000))))
     sharded = (
         id_triples.select("h", "r", "t")
         .withColumn(
@@ -347,15 +354,36 @@ def fit_embeddings_distributed(
     return ent.astype(np.float32), rel.astype(np.float32)
 
 
-def fit_embeddings_from_df(
-    id_triples: DataFrame, n_ent: int, n_rel: int, seed: int = 42, **kw
-) -> tuple[np.ndarray, np.ndarray]:
-    """Fit TransE embeddings from an id-triple DataFrame (distributed).
+DRIVER_FIT_MAX_TRIPLES = 5_000_000
 
-    Thin wrapper over ``fit_embeddings_distributed`` — no full-dataset
-    collect anywhere; ``train_transe`` remains the single-node numpy
-    reference kernel (used by fixtures and as the per-shard inner step).
+
+def fit_embeddings_from_df(
+    id_triples: DataFrame,
+    n_ent: int,
+    n_rel: int,
+    seed: int = 42,
+    driver_max_triples: int = DRIVER_FIT_MAX_TRIPLES,
+    **kw,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit TransE embeddings from an id-triple DataFrame, size-routed.
+
+    Model-scale inputs (<= ``driver_max_triples``; the model itself is
+    dim-bounded and driver-resident anyway) train on the driver with the
+    seeded numpy kernel — paying per-epoch Spark-job overhead for a 40 MB
+    dataset is pure waste. Larger inputs route to
+    ``fit_embeddings_distributed`` (per-shard SGD + parameter averaging;
+    no full-dataset collect). Same routing pattern as the CC union-find
+    (extract/canonicalize.py). The driver path sorts triples canonically
+    first, so both paths are deterministic under any input partitioning.
     """
+    n = id_triples.count()
+    if n <= driver_max_triples:
+        kw.pop("n_shards", None)
+        pdf = id_triples.select("h", "r", "t").toPandas()
+        tri = pdf.to_numpy(dtype=np.int64)
+        if len(tri):
+            tri = tri[np.lexsort((tri[:, 2], tri[:, 1], tri[:, 0]))]
+        return train_transe(tri, n_ent, n_rel, seed=seed, **kw)
     return fit_embeddings_distributed(id_triples, n_ent, n_rel, seed=seed, **kw)
 
 
@@ -387,6 +415,52 @@ def transe_energy_col(spark, ent: np.ndarray, rel: np.ndarray):
 
 def add_transe_energy(df: DataFrame, energy_udf, out_col: str = "energy") -> DataFrame:
     return df.withColumn(out_col, energy_udf(F.col("h"), F.col("r"), F.col("t")))
+
+
+def add_transe_energy_join(
+    triples: DataFrame,
+    ent_df: DataFrame,
+    rel_df: DataFrame,
+    out_col: str = "energy",
+    broadcast_tables: bool = False,
+) -> DataFrame:
+    """Energy via (id, vec) TABLE joins — the beyond-broadcast path.
+
+    When |V| x dim no longer fits a broadcast (>= ~1e8 entities at
+    dim=100), the driver-resident-matrix ``transe_energy_col`` UDF stops
+    working; this variant joins the h/t/r id columns against embedding
+    TABLES (``embeddings_to_df`` layout) and computes
+    ``||e_h + r_r - e_t||_2`` with built-in array expressions
+    (zip_with/aggregate — JVM-side, no Python). Three shuffle-hash joins
+    on dense ids; hot entities (hubs) are handled by AQE skew-join since
+    the embedding side is uniform. Same true-L2 semantics as
+    ``transe_energy_col`` (TransConfidence.py:37-38), pinned by
+    tests/test_kg.py::test_energy_join_matches_broadcast.
+    """
+    def _tbl(df, idc, vecc):
+        t = df.select(F.col("id").alias(idc), F.col("vec").alias(vecc))
+        return F.broadcast(t) if broadcast_tables else t
+
+    joined = (
+        triples.join(_tbl(ent_df, "_hid", "_hv"), triples["h"] == F.col("_hid"))
+        .join(_tbl(ent_df, "_tid", "_tv"), triples["t"] == F.col("_tid"))
+        .join(_tbl(rel_df, "_rid", "_rv"), triples["r"] == F.col("_rid"))
+    )
+    diff = F.zip_with(
+        F.zip_with(F.col("_hv"), F.col("_rv"), lambda a, b: a + b),
+        F.col("_tv"),
+        lambda s, c: s - c,
+    )
+    energy = F.sqrt(
+        F.aggregate(
+            diff,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return joined.withColumn(out_col, energy).drop(
+        "_hid", "_hv", "_tid", "_tv", "_rid", "_rv"
+    )
 
 
 def transe_confidence(

@@ -195,6 +195,20 @@ SELECT doc_id, {bits} AS simhash FROM v
 """
 
 
+def doc_simhash_near_dup_sql(max_hamming: int = 8) -> str:
+    """Exact O(n^2) pair scan over the simhash table — the oracle twin of
+    the blocked pigeonhole join (which is exact-by-construction when the
+    63 used bits partition into max_hamming+1 blocks)."""
+    inner = doc_simhash_sql().strip()
+    return f"""
+WITH sh AS ({inner})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
 _UNIT_EMB = """
 u AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM u),

@@ -191,3 +191,35 @@ scored AS (
 SELECT h, r, t, conf FROM scored WHERE conf < {theta}
 ORDER BY conf, h, r, t LIMIT {k}
 """
+
+
+def kg_tc_pairs_sql(seed: int = 17, n_attempts: int = 8) -> str:
+    """N1 pos/neg pairs (negatives.tc_pairs_ids md5 variant): the draw is
+    pure hash arithmetic, so the oracle is the same expressions in SQL."""
+    def att(i: int) -> str:
+        hx = _hx(seed + 1 + i, "b.h,b.r,b.t")
+        return f"CASE WHEN {hx} % n.c <> b.h AND {hx} % n.c <> b.t THEN {hx} % n.c END"
+
+    cand = ",\n    ".join(att(i) for i in range(n_attempts))
+    return f"""
+WITH {KG_BASE.strip()},
+{_N},
+b AS (
+  SELECT h, r, t, {_hx(seed, 'h,r,t')} % 2305843009213693952 AS row_h
+  FROM idt
+),
+c AS (
+  SELECT b.h, b.r, b.t, b.row_h,
+    (b.row_h % 2 = 0) AS side,
+    COALESCE(
+    {cand},
+    (b.h + 1) % n.c) AS neg
+  FROM b, n
+)
+SELECT h, t, r, 1 AS flag, row_h * 2 AS seq FROM c
+UNION ALL
+SELECT CASE WHEN side THEN neg ELSE h END AS h,
+       CASE WHEN side THEN t ELSE neg END AS t,
+       r, -1 AS flag, row_h * 2 + 1 AS seq
+FROM c
+"""

@@ -156,11 +156,12 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_tc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (xxhash64 draws have no DuckDB equivalent)."""
+    """N1 pos/neg pair generation, md5-portable draw for the DuckDB oracle
+    (production uses the identical construction on xxhash64)."""
     truth, e_dim, r_dim = _dims(spark, sf_dir)
     ids = encode.encode_triples(truth, e_dim, r_dim)
     n_ent = e_dim.count()
-    return negatives.tc_pairs_ids(ids, n_ent, seed=17)
+    return negatives.tc_pairs_ids(ids, n_ent, seed=17, hash_fn="md5")
 
 
 # --- scoring / evaluation layer (driver-gated, SURVEY.md §2.8-2.9) ----------
