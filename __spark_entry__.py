@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": Q.q_emb_topk,
         "emb_near_dup": Q.q_emb_near_dup,
         "emb_lsh_topk": Q.q_emb_lsh_topk,
+        "emb_ivf_topk": Q.q_emb_ivf_topk,
         # data pipeline: multimodal plumbing
         "media_features": Q.q_media_features,
     }
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_near_dup": oracles_docs.doc_simhash_near_dup_sql(),
         "emb_topk": oracles_docs.emb_topk_sql(),
         "emb_near_dup": oracles_docs.emb_near_dup_sql(),
+        "emb_ivf_topk": oracles_docs.emb_ivf_topk_sql(),
         # rows-only (no oracle): kg_pagerank, kg_score_e2e (trained TransE
         # + fitted fusion), emb_lsh_topk, media_features
     }

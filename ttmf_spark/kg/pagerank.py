@@ -99,12 +99,24 @@ def _jacobi(
 
 
 def pagerank_grouped(
-    patched: DataFrame, max_iter: int = MAX_ITER, min_delta: float = MIN_DELTA
+    patched: DataFrame,
+    max_iter: int = MAX_ITER,
+    min_delta: float = MIN_DELTA,
+    n_buckets: int = 256,
 ) -> DataFrame:
-    """(core, src, dst, w) [patched] -> (core, node, pr) via grouped Arrow UDF."""
+    """(core, src, dst, w) [patched] -> (core, node, pr) via grouped Arrow UDF.
 
-    def _one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        core = key[0]
+    Cores are batched into ``n_buckets`` hash buckets and solved core-by-
+    core INSIDE each Arrow group: one group per core pays per-group
+    Arrow/pandas overhead thousands of times (it dominated the round-1
+    23s entity_rank stage), while per-bucket batching amortizes it ~
+    (cores/buckets)x with identical results and the same cross-core
+    parallelism (buckets >> cores(cluster)). Per-bucket memory is
+    total_edges/n_buckets — hub-size outliers are already routed away by
+    ``pagerank_routed`` before this runs.
+    """
+
+    def _solve_core(core: int, pdf: pd.DataFrame) -> pd.DataFrame:
         sv = pdf["src"].to_numpy(dtype=np.int64)
         dv_ = pdf["dst"].to_numpy(dtype=np.int64)
         nodes = np.unique(np.concatenate([sv, dv_, [core]]))
@@ -122,7 +134,19 @@ def pagerank_grouped(
         )
         return pd.DataFrame({"core": core, "node": nodes.astype(np.int64), "pr": pr})
 
-    return patched.groupBy("core").applyInPandas(_one, schema=PR_SCHEMA)
+    def _bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [_solve_core(int(core), g) for core, g in pdf.groupby("core", sort=False)],
+            ignore_index=True,
+        )
+
+    bucketed = patched.withColumn(
+        "_bkt", F.pmod(F.xxhash64("core"), F.lit(n_buckets))
+    )
+    return (
+        bucketed.groupBy("_bkt")
+        .applyInPandas(_bucket, schema=PR_SCHEMA)
+    )
 
 
 def pagerank_routed(

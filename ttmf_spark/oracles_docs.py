@@ -244,3 +244,55 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM un a JOIN un b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= {tau}
 """
+
+
+def emb_ivf_topk_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    query_mod: int = 50,
+) -> str:
+    """Mirrors similarity.ivf_topk(refine_iters=0, hash_fn='md5'):
+    hash-sampled unit-vector centroids (no cross-row float math), rounded
+    cosine cell assignment with lower-cell tie-break, n_probe cells per
+    query, exact cosine rank within probed cells."""
+    h = _md5h(f"'{seed}' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {_UNIT_EMB.strip()},
+cents AS (
+  SELECT uv AS cv, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cell
+  FROM un ORDER BY {h}, vec_id LIMIT {n_cells}
+),
+cassign AS (
+  SELECT vec_id AS neighbor_id, uv AS cvv, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(uv, cv), 6) DESC, cell ASC
+         ) AS rn
+  FROM un, cents
+),
+cidx AS (SELECT neighbor_id, cvv, cell FROM cassign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, uv AS qv FROM un WHERE vec_id % {query_mod} = 0),
+qassign AS (
+  SELECT query_id, qv, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND(list_dot_product(qv, cv), 6) DESC, cell ASC
+         ) AS rn
+  FROM q, cents
+),
+qidx AS (SELECT query_id, qv, cell FROM qassign WHERE rn <= {n_probe}),
+scored AS (
+  SELECT qidx.query_id, cidx.neighbor_id,
+         ROUND(list_dot_product(cidx.cvv, qidx.qv), 6) AS cos
+  FROM cidx JOIN qidx USING (cell)
+  WHERE cidx.neighbor_id <> qidx.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= {k}
+"""

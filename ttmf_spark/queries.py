@@ -415,6 +415,17 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, p=4, dim=64)
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k, md5-hash-sampled centroids for exact oracle parity
+    (refine_iters=0; Lloyd-refined centroids are the rows-only production
+    variant, see similarity.ivf_refine)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4, hash_fn="md5"
+    )
+
+
 # --- data pipeline: multimodal ---------------------------------------------
 
 
