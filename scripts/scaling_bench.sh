@@ -2,12 +2,17 @@
 # Scaling-efficiency evidence (BASELINE.json: >=0.8 from N to 4N executors).
 # bench.py's built-in probe runs the identical extraction job + input +
 # shuffle partitioning at a ladder of CPU-affinity-pinned parallelism
-# levels (2 -> 8 -> 32 by default; cores = only variable, min of 3 reps
+# levels (2 -> 8 -> 32 by default; cores = only variable, min of 5 reps
 # per level); this wrapper formats the result into BENCH.md.
+# Usage: scaling_bench.sh [file-with-bench-json-line]  (no arg: run bench.py)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT="BENCH.md"
-J=$(python bench.py | tail -1)
+if [ $# -ge 1 ]; then
+  J=$(grep -o '{"metric".*' "$1" | tail -1)
+else
+  J=$(python bench.py | tail -1)
+fi
 python - "$J" <<'PY' >> "$OUT"
 import json, sys, datetime
 j = json.loads(sys.argv[1])

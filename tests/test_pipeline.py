@@ -107,3 +107,39 @@ def test_link_prediction_ranks(spark):
     assert filt[0]["rank"] == 1  # gold corruption excluded
     m = evaluate.rank_metrics(evaluate.link_prediction_ranks(cands)).collect()[0]
     assert m["hits10"] == 1.0 and m["mean_rank"] == 2.0
+
+
+def test_lowest_confidence_threshold_filter(spark, tiny2):
+    """P5 direct test: conf < theta filter (find_errors.py:54-67) drops
+    rows at/above the threshold before the bottom-k."""
+    scored, _ = score_triples(spark, tiny2, kind="logistic", transe_kw={"epochs": 3})
+    confs = sorted(r["conf"] for r in scored.collect())
+    theta = confs[len(confs) // 2]  # median: some below, some at/above
+    out = lowest_confidence(scored, k=100, threshold=theta).collect()
+    assert len(out) == sum(c < theta for c in confs)
+    assert all(r["conf"] < theta for r in out)
+    # unfiltered returns everything (k > n)
+    assert len(lowest_confidence(scored, k=100).collect()) == len(confs)
+
+
+def test_self_loop_zero_path_features(spark):
+    """P7 direct test: a self-loop (h==t) triple has no ranked paths; the
+    reference writes an empty path file for it (SearchPaths2.py:240-248)
+    and downstream reads empty as all-zero path features
+    (PrecessData.py:185). attach_path_summary must reproduce that."""
+    from ttmf_spark.kg.fusion import attach_path_summary
+
+    triples = spark.createDataFrame([(7, 0, 7), (1, 0, 2)], ["h", "r", "t"])
+    ranked = spark.createDataFrame(
+        [(1, 2, 0, 1, 3, 2, [0], 1, 0.5, 0.9)],
+        ["h", "t", "r", "line", "ph", "pt", "pr", "len", "score", "rel_align"],
+    )
+    out = {(r["h"], r["t"]): r for r in attach_path_summary(triples, ranked).collect()}
+    loop = out[(7, 7)]
+    for k in (1, 2, 3):
+        assert loop[f"path{k}_score"] == 0.0
+        assert loop[f"path{k}_len"] == 0.0
+        assert loop[f"path{k}_align"] == 0.0
+    # the non-loop triple keeps its real line-1 path features
+    assert out[(1, 2)]["path1_score"] == 0.5
+    assert out[(1, 2)]["path1_align"] == 0.9
