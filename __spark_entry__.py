@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ttmf_spark import oracles, oracles_docs, oracles_eval, oracles_kg
+from ttmf_spark import oracles, oracles_docs, oracles_eval, oracles_events, oracles_kg
 from ttmf_spark import queries as Q
 
 
@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": Q.q_emb_near_dup,
         "emb_lsh_topk": Q.q_emb_lsh_topk,
         "emb_ivf_topk": Q.q_emb_ivf_topk,
+        # data pipeline: event streams
+        "evt_sessions": Q.q_evt_sessions,
+        "evt_windowed": Q.q_evt_windowed,
+        "evt_json_stats": Q.q_evt_json_stats,
         # data pipeline: multimodal plumbing
         "media_features": Q.q_media_features,
     }
@@ -104,6 +108,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk": oracles_docs.emb_topk_sql(),
         "emb_near_dup": oracles_docs.emb_near_dup_sql(),
         "emb_ivf_topk": oracles_docs.emb_ivf_topk_sql(),
+        "evt_sessions": oracles_events.evt_sessions_sql(),
+        "evt_windowed": oracles_events.evt_windowed_sql(),
+        "evt_json_stats": oracles_events.evt_json_stats_sql(),
         # rows-only (no oracle): kg_pagerank, kg_score_e2e (trained TransE
         # + fitted fusion), emb_lsh_topk, media_features
     }

@@ -37,3 +37,35 @@ def test_incremental_extract_matches_batch(spark, tmp_path):
     assert got.count() == got.distinct().count()  # no duplicate appends
     assert got.distinct().count() == truth.count()
     assert got.exceptAll(truth).count() == 0
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """Watermarked streaming windowed agg == batch operator on emitted
+    windows, with late (out-of-order) events landing in their correct
+    windows. Two file drops force multi-batch processing; the second drop
+    is a hash-chosen 20% of events that are late w.r.t. the first."""
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.datapipe import events as evops
+
+    ev = spark.read.parquet(f"{SF_UNIT}/events.parquet")
+    in_dir = str(tmp_path / "evt_in")
+    late = F.pmod(F.xxhash64("event_id"), F.lit(5)) == 0
+    ev.filter(~late).write.mode("overwrite").parquet(in_dir)
+    ev.filter(late).write.mode("append").parquet(in_dir)
+
+    q = streaming.windowed_counts_stream(
+        spark, in_dir, width_minutes=60, watermark="2 hours",
+        query_name="wcs_test",
+    )
+    q.awaitTermination(300)
+    got = spark.table("wcs_test")
+    batch = evops.windowed_counts(ev, width_minutes=60)
+
+    n_got, n_batch = got.count(), batch.count()
+    assert n_got > 0
+    # every emitted window agrees EXACTLY with the batch twin (late rows
+    # included in their event-time windows, not arrival-time ones)
+    assert got.exceptAll(batch).count() == 0
+    # only the watermark-trailing windows may be unemitted
+    assert n_got >= int(n_batch * 0.8)

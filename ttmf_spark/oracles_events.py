@@ -1,0 +1,64 @@
+"""DuckDB oracle SQL for the event-stream operators (datapipe.events)
+over the driver `events` view.
+
+Cross-engine exactness contract (mirrors events.py): value sums are
+aggregated in DECIMAL(18,2) (order-free) and cast to DOUBLE only at the
+very end (the same decimal converts to the same nearest double in both
+engines); window bucketing and session bounds use second-truncated epoch built
+from date/time components (timezone-free on TIMESTAMP_NTZ in both engines);
+within-user ordering is by raw microsecond ts with event_id tiebreak.
+"""
+
+from __future__ import annotations
+
+_E = """
+e AS (
+  SELECT event_id, user_id, event_type, ts, props,
+         CAST(date_diff('day', DATE '1970-01-01', ts::DATE) AS BIGINT) * 86400
+           + date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+           + date_part('second', ts) AS sec,
+         CAST(value AS DECIMAL(18,2)) AS val
+  FROM events
+)
+"""
+
+
+def evt_sessions_sql(gap_minutes: int = 30) -> str:
+    gap_s = gap_minutes * 60
+    return f"""
+WITH {_E.strip()},
+f AS (
+  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                   OR sec - lag(sec) OVER w > {gap_s} THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(nw) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_seq FROM f
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events, MIN(sec) AS start_s, MAX(sec) AS end_s,
+       CAST(SUM(val) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def evt_windowed_sql(width_minutes: int = 60) -> str:
+    width_s = width_minutes * 60
+    return f"""
+WITH {_E.strip()}
+SELECT CAST(floor(sec / {width_s}) * {width_s} AS BIGINT) AS window_start_s,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(val) AS DOUBLE) AS total_value
+FROM e GROUP BY 1, 2
+"""
+
+
+def evt_json_stats_sql(field: str = "k") -> str:
+    return f"""
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.{field}') AS BIGINT)) AS n_with_field,
+       CAST(SUM(CAST(json_extract_string(props, '$.{field}') AS BIGINT)) AS DOUBLE) AS sum_field
+FROM events GROUP BY event_type
+"""

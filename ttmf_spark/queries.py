@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 import numpy as np
 
 from ttmf_spark import corpus
-from ttmf_spark.datapipe import dedup, multimodal, similarity, textstats
+from ttmf_spark.datapipe import dedup, events, multimodal, similarity, textstats
 from ttmf_spark.extract import extract_triples
 from ttmf_spark.kg import encode, evaluate, fusion, graph, negatives, pagerank, paths
 from ttmf_spark.kg.threshold import best_threshold
@@ -437,3 +437,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_ref", "kind", F.round(F.element_at("features", 1), 4).alias("f0")
     )
+
+
+# --- data pipeline: event streams -------------------------------------------
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+def q_evt_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.windowed_counts(_events(spark, sf_dir), width_minutes=60)
+
+
+def q_evt_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.json_props_stats(_events(spark, sf_dir), field="k")

@@ -94,3 +94,66 @@ def incremental_extract(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENTS_SCHEMA = (
+    # ts is declared TIMESTAMP (not the parquet file's TIMESTAMP_NTZ):
+# watermarks require an event-time TIMESTAMP, and reading the stored naive
+# micros as UTC keeps epoch math identical to the batch twin's
+# component-derived seconds, independent of the session timezone.
+"event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    width_minutes: int = 60,
+    watermark: str = "2 hours",
+    query_name: str = "evt_windowed_stream",
+):
+    """Streaming twin of ``datapipe.events.windowed_counts``: file source
+    -> watermark -> tumbling event-time window -> append-mode memory sink.
+
+    Watermark semantics (the whole point of the twin): a window only
+    EMITS once the watermark (max event time - ``watermark``) passes its
+    end, so late events inside the allowance still land in their window
+    and the trailing windows of a bounded input never finalize — callers
+    compare against the batch operator restricted to emitted windows
+    (tests/test_streaming.py does exactly that). State is per-(window,
+    event_type) — bounded by the watermark horizon, the canonical
+    streaming-agg scale shape.
+
+    Uses the same DECIMAL value sums as the batch twin; window start is
+    re-expressed as component-derived epoch seconds so rows are directly
+    comparable with ``windowed_counts`` output.
+    """
+    from ttmf_spark.datapipe.events import DEC
+
+    sdf = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{width_minutes} minutes").alias("_w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("_w.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
