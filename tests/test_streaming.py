@@ -69,3 +69,32 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     assert got.exceptAll(batch).count() == 0
     # only the watermark-trailing windows may be unemitted
     assert n_got >= int(n_batch * 0.8)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionization (applyInPandasWithState) emits
+    exactly the batch sessions for every provably-closed session, with
+    identical consecutive session_seq numbering, across multi-batch
+    arrival with late events."""
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.datapipe import events as evops
+
+    ev = spark.read.parquet(f"{SF_UNIT}/events.parquet")
+    in_dir = str(tmp_path / "sess_in")
+    late = F.pmod(F.xxhash64("event_id"), F.lit(5)) == 0
+    ev.filter(~late).write.mode("overwrite").parquet(in_dir)
+    ev.filter(late).write.mode("append").parquet(in_dir)
+
+    q = streaming.sessionize_stream(
+        spark, in_dir, gap_minutes=30, watermark="2 hours",
+        query_name="ss_test",
+    )
+    q.awaitTermination(300)
+    got = spark.table("ss_test")
+    batch = evops.sessionize(ev, gap_minutes=30)
+
+    n_got, n_batch = got.count(), batch.count()
+    assert n_got > 0
+    assert got.exceptAll(batch).count() == 0  # exact rows incl. seq + sums
+    assert n_got >= int(n_batch * 0.5)  # only watermark-trailing stay open

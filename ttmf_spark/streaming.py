@@ -157,3 +157,127 @@ def windowed_counts_stream(
         .start()
     )
     return q
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    query_name: str = "evt_sessions_stream",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming twin of ``datapipe.events.sessionize`` via
+    applyInPandasWithState — the custom stateful operator pattern.
+
+    Per-user GroupState buffers (sec, cents) events still inside the
+    watermark horizon; each invocation re-splits the buffer into
+    gap-sessions and EMITS every session provably closed — one whose
+    ``end + gap < watermark``, so the watermark guarantee (no event older
+    than the horizon will arrive) means nothing can extend or merge it.
+    Later-closing sessions stay buffered, so emitted sessions carry the
+    same consecutive ``session_seq`` numbering as the batch operator and
+    agree with it EXACTLY (pinned by tests/test_streaming.py). Value
+    sums ride as integer cents (order-free exact; emitted as the same
+    double the batch DECIMAL path produces).
+
+    Scale shape: state per user is bounded by the watermark horizon (not
+    history); the shuffle is one hash partition by user_id — identical to
+    the batch window partitioning.
+    """
+    import numpy as np
+
+    gap_s = gap_minutes * 60
+    sdf = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    ev = sdf.select(
+        "user_id",
+        "ts",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withWatermark("ts", watermark)
+
+    out_type = (
+        "user_id long, session_seq long, n_events long, "
+        "start_s long, end_s long, total_value double"
+    )
+    state_type = "secs array<long>, cents array<long>, next_seq long"
+
+    def _fn(key, pdfs, state):
+        user = int(key[0])
+        if state.exists:
+            st_secs, st_cents, next_seq = state.get
+            secs_l = list(st_secs)
+            cents_l = list(st_cents)
+            next_seq = int(next_seq)
+        else:
+            secs_l, cents_l, next_seq = [], [], 1
+        for pdf in pdfs:
+            secs_l.extend(int(x) for x in pdf["sec"])
+            cents_l.extend(int(x) for x in pdf["cents"])
+        wm = state.getCurrentWatermarkMs() // 1000
+        order = np.argsort(np.asarray(secs_l, dtype=np.int64), kind="stable")
+        secs = np.asarray(secs_l, dtype=np.int64)[order]
+        cents = np.asarray(cents_l, dtype=np.int64)[order]
+        rows, start, keep_from = [], 0, None
+        n = len(secs)
+        for j in range(1, n + 1):
+            if j == n or secs[j] - secs[j - 1] > gap_s:
+                if secs[j - 1] + gap_s < wm:
+                    rows.append(
+                        (
+                            user,
+                            next_seq,
+                            j - start,
+                            int(secs[start]),
+                            int(secs[j - 1]),
+                            float(cents[start:j].sum()) / 100.0,
+                        )
+                    )
+                    next_seq += 1
+                    start = j
+                else:
+                    # first still-open session: everything from here stays
+                    # buffered (later sessions close even later)
+                    keep_from = start
+                    break
+        if keep_from is None:
+            keep_from = n
+        state.update(
+            (
+                [int(x) for x in secs[keep_from:]],
+                [int(x) for x in cents[keep_from:]],
+                next_seq,
+            )
+        )
+        import pandas as pd
+
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "session_seq", "n_events",
+                    "start_s", "end_s", "total_value",
+                ],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
