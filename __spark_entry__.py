@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pr_sweep": Q.q_kg_pr_sweep,
         "kg_fusion_conf": Q.q_kg_fusion_conf,
         "kg_lowest_conf": Q.q_kg_lowest_conf,
+        "kg_crisscross_conf": Q.q_kg_crisscross_conf,
         "kg_score_e2e": Q.q_kg_score_e2e,
         # data pipeline: text analysis + dedup
         "doc_stats": Q.q_doc_stats,
@@ -112,5 +113,6 @@ def oracle_sql() -> dict[str, str]:
         "evt_windowed": oracles_events.evt_windowed_sql(),
         "evt_json_stats": oracles_events.evt_json_stats_sql(),
         # rows-only (no oracle): kg_pagerank, kg_score_e2e (trained TransE
-        # + fitted fusion), emb_lsh_topk, media_features
+        # + fitted fusion), kg_crisscross_conf (masked-RNN forward),
+        # emb_lsh_topk, media_features
     }

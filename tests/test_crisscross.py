@@ -1,0 +1,136 @@
+"""Crisscross fusion net (kg/crisscross.py — reference Model1.py:23-160):
+gradient check, loop-oracle forward parity, determinism, e2e scoring."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ttmf_spark.kg import crisscross as cc
+
+
+def _tiny_setup(seed=7, B=9, ent_dim=5, rel_dim=4, n_ent=11, n_rel=6, L=3):
+    rng = np.random.default_rng(seed)
+    E = rng.normal(0, 0.4, (n_ent, ent_dim))
+    R = rng.normal(0, 0.4, (n_rel, rel_dim))
+    batch = {
+        "h": rng.integers(0, n_ent, B),
+        "t": rng.integers(0, n_ent, B),
+        "r": rng.integers(0, n_rel, B),
+        "transe": rng.normal(0, 1, B),
+        "rrank": rng.normal(0, 1, (B, 6)),
+    }
+    for k in (1, 2, 3):
+        for nm in ("h", "t", "r"):
+            n_vocab = n_rel if nm == "r" else n_ent
+            toks = rng.integers(0, n_vocab, (B, L))
+            # sprinkle padding: some suffix steps zeroed
+            cut = rng.integers(0, L + 1, B)
+            for i, ci in enumerate(cut):
+                toks[i, ci:] = 0
+            batch[f"p{k}_{nm}"] = toks
+    y = rng.integers(0, 2, B).astype(np.float64)
+    params = cc.init_params(ent_dim, rel_dim, rnn_h=6, rr_h=5, bp_h=4, seed=seed)
+    return batch, y, params, (E, R)
+
+
+def test_gradient_check_finite_difference():
+    """Analytic grads == central finite differences (train-mode BN,
+    dropout off) for every trained tensor, sampled entries."""
+    batch, y, params, emb = _tiny_setup()
+    loss0, g = cc.loss_and_grads(batch, y, params, emb)
+    rng = np.random.default_rng(0)
+    eps = 1e-6
+    for key in cc._trained_keys(params):
+        base = np.atleast_1d(np.asarray(params[key], dtype=np.float64))
+        flat_idx = rng.choice(base.size, size=min(4, base.size), replace=False)
+        for fi in flat_idx:
+            pert = base.copy().reshape(-1)
+            pert[fi] += eps
+            params2 = dict(params)
+            params2[key] = pert.reshape(np.shape(params[key])) if np.ndim(params[key]) else float(pert[0])
+            lp, _ = cc.loss_and_grads(batch, y, params2, emb)
+            pert[fi] -= 2 * eps
+            params2[key] = pert.reshape(np.shape(params[key])) if np.ndim(params[key]) else float(pert[0])
+            lm, _ = cc.loss_and_grads(batch, y, params2, emb)
+            fd = (lp - lm) / (2 * eps)
+            an = np.atleast_1d(np.asarray(g[key])).reshape(-1)[fi]
+            assert abs(fd - an) <= 1e-5 * max(1.0, abs(fd), abs(an)), (
+                key, fi, fd, an,
+            )
+
+
+def _loop_forward_one(i, batch, params, emb):
+    """Per-example pure-loop eval-mode forward (independent oracle)."""
+    E, R = emb
+    pvs = []
+    for k in (1, 2, 3):
+        Wx, Wh, b = params[f"rnn{k}_Wx"], params[f"rnn{k}_Wh"], params[f"rnn{k}_b"]
+        s = np.zeros(Wh.shape[0])
+        for step in range(batch[f"p{k}_h"].shape[1]):
+            ph = batch[f"p{k}_h"][i, step]
+            pt = batch[f"p{k}_t"][i, step]
+            pr = batch[f"p{k}_r"][i, step]
+            if ph == 0 or pt == 0 or pr == 0:
+                continue  # Keras mask: state carries through
+            x = np.concatenate(
+                [E[batch["h"][i]], R[batch["r"][i]], E[batch["t"][i]],
+                 E[ph], R[pr], E[pt]]
+            )
+            s = np.tanh(x @ Wx + s @ Wh + b)
+        xhat = (s - params[f"bn{k}_mean"]) / np.sqrt(params[f"bn{k}_var"] + cc.BN_EPS)
+        bn = params[f"bn{k}_gamma"] * xhat + params[f"bn{k}_beta"]
+        pvs.append(1 / (1 + np.exp(-(bn @ params[f"pv{k}_W"] + params[f"pv{k}_b"]))))
+    h_rr = np.tanh(batch["rrank"][i] @ params["rr_W1"] + params["rr_b1"])
+    rr_v = 1 / (1 + np.exp(-(h_rr @ params["rr_W2"] + params["rr_b2"])))
+    bp_in = np.array([*pvs, batch["transe"][i], rr_v])
+    z1 = bp_in @ params["bp_W1"] + params["bp_b1"]
+    logits = z1 @ params["bp_W2"] + params["bp_b2"]
+    ez = np.exp(logits - logits.max())
+    return ez / ez.sum()
+
+
+def test_forward_matches_loop_oracle():
+    batch, _y, params, emb = _tiny_setup(seed=3, B=13)
+    # non-trivial BN stats
+    rng = np.random.default_rng(5)
+    for k in (1, 2, 3):
+        params[f"bn{k}_mean"] = rng.normal(0, 0.1, 6)
+        params[f"bn{k}_var"] = rng.uniform(0.5, 2.0, 6)
+    probs, _ = cc.forward(batch, params, emb, train=False)
+    for i in range(13):
+        expect = _loop_forward_one(i, batch, params, emb)
+        np.testing.assert_allclose(probs[i], expect, rtol=1e-10, atol=1e-12)
+
+
+def test_fit_deterministic_and_separates():
+    """Same seed -> identical weights; fitted net separates a linearly
+    separable synthetic pair set (signal in transE + rrank + paths)."""
+    rng = np.random.default_rng(11)
+    B = 240
+    batch, _, _, emb = _tiny_setup(seed=11, B=B)
+    y = (rng.random(B) < 0.5).astype(np.float64)
+    # plant signal: positives get higher transe margin + rrank shift
+    batch["transe"] = y * 1.5 + rng.normal(0, 0.3, B)
+    batch["rrank"] = rng.normal(0, 0.5, (B, 6)) + y[:, None]
+    w1 = cc.fit_crisscross(batch, y, *emb, epochs=12, seed=9)
+    w2 = cc.fit_crisscross(batch, y, *emb, epochs=12, seed=9)
+    for k in cc._trained_keys(w1):
+        np.testing.assert_array_equal(np.asarray(w1[k]), np.asarray(w2[k]))
+    probs, _ = cc.forward(batch, w1, emb, train=False)
+    assert probs[y == 1, 1].mean() > probs[y == 0, 1].mean() + 0.1
+
+
+def test_score_triples_crisscross_end_to_end(spark):
+    from tests.test_kg import TINY_TRIPLES
+    from ttmf_spark.kg.pipeline import build_context, fit_fusion, score_ids
+
+    tiny = spark.createDataFrame(TINY_TRIPLES, ["s", "p", "o"])
+    ctx, model = build_context(spark, tiny, transe_kw={"epochs": 5})
+    model = fit_fusion(ctx, model, kind="crisscross")
+    pairs = ctx.dev_pairs
+    scored = score_ids(spark, ctx, model, pairs.select("h", "r", "t", "flag"))
+    pdf = scored.select("flag", "conf").toPandas()
+    assert ((pdf["conf"] >= 0) & (pdf["conf"] <= 1)).all()
+    pos = pdf[pdf.flag == 1]["conf"].mean()
+    neg = pdf[pdf.flag == -1]["conf"].mean()
+    assert pos > neg, (pos, neg)

@@ -1,0 +1,431 @@
+"""Crisscross fusion net — the reference's full Keras architecture
+(`Model1.py:23-160` ``creat_Model_BiLSTM_BP``) re-expressed as seeded
+numpy (training, driver-side, query-set-sized data) + one vectorized
+Arrow UDF (inference, distributed).
+
+Architecture (exact branch/shape parity with the reference):
+
+- three PATH branches, separate weights each (Model1.py:82-125): per
+  timestep concat ``[e_h, v_r, e_t, e_ph_t, v_pr_t, e_pt_t]`` of FROZEN
+  TransE/PTransE embeddings (trainable=False, Model1.py:27-73) ->
+  Dropout(0.5) -> SimpleRNN(100) -> BatchNorm -> Dropout(0.5) ->
+  Dense(1, sigmoid) = path_value;
+- mask semantics: Keras ``mask_zero=True`` on the three path-token
+  embeddings only; Concatenate ANDs the masks, so a timestep is skipped
+  (RNN state carried through) iff any of (ph, pt, pr) token is id 0 —
+  the pad id. The pad-collides-with-entity-0 quirk is preserved
+  (PrecessData.py:189-192 pads with 0 while real ids may be 0);
+- RR branch (Model1.py:131-133): Dense(100, tanh) -> Dropout(0.5) ->
+  Dense(1, sigmoid);
+- fusion head (Model1.py:138-147): concat([pv1, pv2, pv3, TransE_conf,
+  rr_value]) -> Dense(50, linear) -> Dropout(0.5) -> Dense(2, softmax);
+  confidence = softmax[:, 1] (Model1.py:479-487 writes res[1]);
+- loss binary_crossentropy on the softmax pair == categorical CE on the
+  one-hot label; Adam lr=1e-3, batch 64 (Model1.py:982, compile at :158).
+
+Deviations (documented): seeded numpy init (Glorot uniform kernels,
+orthogonal recurrent, zeros bias — the Keras defaults, but with our rng);
+early stopping on a 10% holdout loss with patience 20 instead of the
+reference's test-set-accuracy probe (Model1.py:429-447) — the test set
+is not an input of the fitted artifact here; dropout masks are seeded.
+
+Scale notes: training data is the labeled dev-pair set (query-set-sized,
+never the corpus) and the model is a few hundred KB — driver-side fit is
+the right altitude (SURVEY.md M6). Inference broadcasts the weight dict
+plus the dim-bounded embedding matrices and runs one fused numpy forward
+per Arrow batch — no per-row Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ttmf_spark.kg.paths import MAX_EDGES, MAX_P
+
+RNN_H = 100  # SimpleRNN(100), Model1.py:88
+RR_H = 100  # Dense(100, tanh), Model1.py:131
+BP_H = 50  # Dense(50), Model1.py:144
+DROP = 0.5
+BN_EPS = 1e-3  # Keras BatchNormalization defaults
+BN_MOMENTUM = 0.99
+
+# inference/fit input columns (driver query frames carry these after
+# pipeline.attach_features + paths.path_features)
+TOKEN_COLS = [f"path{k}_{nm}" for k in range(1, MAX_P + 1) for nm in ("h", "t", "r")]
+CC_INPUT_COLS = ["h", "t", "r", *TOKEN_COLS, "trans_conf", "rr_features"]
+
+
+def _glorot(rng: np.random.Generator, shape: tuple[int, ...]) -> np.ndarray:
+    fan_in, fan_out = shape[0], shape[-1]
+    lim = np.sqrt(6.0 / (fan_in + fan_out))
+    return rng.uniform(-lim, lim, shape)
+
+
+def _orthogonal(rng: np.random.Generator, n: int) -> np.ndarray:
+    q, r = np.linalg.qr(rng.normal(0, 1, (n, n)))
+    return q * np.sign(np.diag(r))
+
+
+def init_params(
+    ent_dim: int,
+    rel_dim: int,
+    rnn_h: int = RNN_H,
+    rr_h: int = RR_H,
+    bp_h: int = BP_H,
+    n_paths: int = MAX_P,
+    seed: int = 42,
+) -> dict:
+    """Keras-default-shaped init: Glorot kernels, orthogonal recurrent,
+    zero biases, BN gamma=1/beta=0 with zeroed running stats."""
+    rng = np.random.default_rng(seed)
+    d_in = 4 * ent_dim + 2 * rel_dim
+    p: dict[str, np.ndarray | float] = {"n_paths": n_paths, "d_in": d_in}
+    for k in range(1, n_paths + 1):
+        p[f"rnn{k}_Wx"] = _glorot(rng, (d_in, rnn_h))
+        p[f"rnn{k}_Wh"] = _orthogonal(rng, rnn_h)
+        p[f"rnn{k}_b"] = np.zeros(rnn_h)
+        p[f"bn{k}_gamma"] = np.ones(rnn_h)
+        p[f"bn{k}_beta"] = np.zeros(rnn_h)
+        p[f"bn{k}_mean"] = np.zeros(rnn_h)  # running stats (not trained by Adam)
+        p[f"bn{k}_var"] = np.ones(rnn_h)
+        p[f"pv{k}_W"] = _glorot(rng, (rnn_h, 1))[:, 0]
+        p[f"pv{k}_b"] = 0.0
+    p["rr_W1"] = _glorot(rng, (6, rr_h))
+    p["rr_b1"] = np.zeros(rr_h)
+    p["rr_W2"] = _glorot(rng, (rr_h, 1))[:, 0]
+    p["rr_b2"] = 0.0
+    p["bp_W1"] = _glorot(rng, (2 + n_paths, bp_h))
+    p["bp_b1"] = np.zeros(bp_h)
+    p["bp_W2"] = _glorot(rng, (bp_h, 2))
+    p["bp_b2"] = np.zeros(2)
+    return p
+
+
+TRAINED_KEYS = None  # filled lazily: every ndarray/float param except BN stats
+
+
+def _trained_keys(params: dict) -> list[str]:
+    return [
+        k
+        for k, v in params.items()
+        if isinstance(v, (np.ndarray, float))
+        and not k.endswith(("_mean", "_var"))
+        and k not in ("n_paths", "d_in")
+    ]
+
+
+def _sigmoid(z):
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -60, 60)))
+
+
+def _branch_inputs(batch: dict, emb: tuple[np.ndarray, np.ndarray], k: int):
+    """Per-timestep concat [e_h, v_r, e_t, e_ph, v_pr, e_pt] (B, L, D_in)
+    + the AND-of-masks timestep mask (B, L). Model1.py:82-85 order."""
+    E, R = emb
+    h, t, r = batch["h"], batch["t"], batch["r"]
+    ph, pt, pr = batch[f"p{k}_h"], batch[f"p{k}_t"], batch[f"p{k}_r"]
+    B, L = ph.shape
+    x = np.concatenate(
+        [
+            np.repeat(E[h][:, None, :], L, axis=1),
+            np.repeat(R[r][:, None, :], L, axis=1),
+            np.repeat(E[t][:, None, :], L, axis=1),
+            E[ph],
+            R[pr],
+            E[pt],
+        ],
+        axis=2,
+    )
+    mask = (ph != 0) & (pt != 0) & (pr != 0)
+    return x, mask
+
+
+def forward(
+    batch: dict,
+    params: dict,
+    emb: tuple[np.ndarray, np.ndarray],
+    train: bool = False,
+    drop_rng: np.random.Generator | None = None,
+    update_running: bool = False,
+) -> tuple[np.ndarray, dict]:
+    """Full net forward. Returns (softmax probs (B, 2), cache for backward).
+
+    ``train`` switches BN to batch statistics; dropout fires only when a
+    ``drop_rng`` is supplied (so gradient checks can run train-mode BN
+    deterministically with dropout off).
+    """
+    n_paths = int(params["n_paths"])
+    B = len(batch["h"])
+    cache: dict = {"branches": [], "train": train}
+
+    def drop(x):
+        if not train or drop_rng is None:
+            return x, None
+        m = (drop_rng.random(x.shape) >= DROP) / (1.0 - DROP)
+        return x * m, m
+
+    path_values = []
+    for k in range(1, n_paths + 1):
+        x, mask = _branch_inputs(batch, emb, k)
+        xd, m_emb = drop(x)
+        Wx, Wh, b = params[f"rnn{k}_Wx"], params[f"rnn{k}_Wh"], params[f"rnn{k}_b"]
+        L = x.shape[1]
+        s = np.zeros((B, Wh.shape[0]))
+        states, raws = [s], []
+        for step in range(L):
+            a = xd[:, step, :] @ Wx + s @ Wh + b
+            s_raw = np.tanh(a)
+            mt = mask[:, step : step + 1]
+            s = np.where(mt, s_raw, s)
+            raws.append(s_raw)
+            states.append(s)
+        o = s
+        if train:
+            mu = o.mean(axis=0)
+            var = o.var(axis=0)
+            if update_running:
+                params[f"bn{k}_mean"] = (
+                    BN_MOMENTUM * params[f"bn{k}_mean"] + (1 - BN_MOMENTUM) * mu
+                )
+                params[f"bn{k}_var"] = (
+                    BN_MOMENTUM * params[f"bn{k}_var"] + (1 - BN_MOMENTUM) * var
+                )
+        else:
+            mu, var = params[f"bn{k}_mean"], params[f"bn{k}_var"]
+        inv = 1.0 / np.sqrt(var + BN_EPS)
+        xhat = (o - mu) * inv
+        bn = params[f"bn{k}_gamma"] * xhat + params[f"bn{k}_beta"]
+        bnd, m_bn = drop(bn)
+        u = bnd @ params[f"pv{k}_W"] + params[f"pv{k}_b"]
+        pv = _sigmoid(u)
+        path_values.append(pv)
+        cache["branches"].append(
+            dict(
+                xd=xd, mask=mask, states=states, raws=raws, o=o,
+                mu=mu, inv=inv, xhat=xhat, m_emb=m_emb, m_bn=m_bn,
+                bnd=bnd, pv=pv,
+            )
+        )
+    z_rr = batch["rrank"] @ params["rr_W1"] + params["rr_b1"]
+    h_rr = np.tanh(z_rr)
+    h_rr_d, m_rr = drop(h_rr)
+    rr_v = _sigmoid(h_rr_d @ params["rr_W2"] + params["rr_b2"])
+    bp_in = np.column_stack([*path_values, batch["transe"], rr_v])
+    z1 = bp_in @ params["bp_W1"] + params["bp_b1"]  # linear Dense(50)
+    z1d, m_bp = drop(z1)
+    logits = z1d @ params["bp_W2"] + params["bp_b2"]
+    shift = logits - logits.max(axis=1, keepdims=True)
+    ez = np.exp(shift)
+    probs = ez / ez.sum(axis=1, keepdims=True)
+    cache.update(
+        h_rr=h_rr, h_rr_d=h_rr_d, m_rr=m_rr, rr_v=rr_v,
+        bp_in=bp_in, z1d=z1d, m_bp=m_bp, probs=probs,
+    )
+    return probs, cache
+
+
+def loss_and_grads(
+    batch: dict,
+    y: np.ndarray,
+    params: dict,
+    emb: tuple[np.ndarray, np.ndarray],
+    drop_rng: np.random.Generator | None = None,
+    update_running: bool = False,
+) -> tuple[float, dict]:
+    """Train-mode forward + full backprop (BPTT through each branch).
+    ``y`` in {0, 1}; loss = mean categorical CE on the softmax pair
+    (== Keras binary_crossentropy for a one-hot softmax-2 target)."""
+    probs, c = forward(
+        batch, params, emb, train=True, drop_rng=drop_rng,
+        update_running=update_running,
+    )
+    B = len(y)
+    n_paths = int(params["n_paths"])
+    p1 = probs[np.arange(B), y.astype(np.int64)]
+    loss = float(-np.mean(np.log(p1 + 1e-12)))
+    g: dict[str, np.ndarray | float] = {}
+
+    onehot = np.zeros((B, 2))
+    onehot[np.arange(B), y.astype(np.int64)] = 1.0
+    dlogits = (probs - onehot) / B
+    g["bp_W2"] = c["z1d"].T @ dlogits
+    g["bp_b2"] = dlogits.sum(axis=0)
+    dz1d = dlogits @ params["bp_W2"].T
+    dz1 = dz1d if c["m_bp"] is None else dz1d * c["m_bp"]
+    g["bp_W1"] = c["bp_in"].T @ dz1
+    g["bp_b1"] = dz1.sum(axis=0)
+    d_bp_in = dz1 @ params["bp_W1"].T
+
+    # rr branch
+    d_rr_v = d_bp_in[:, n_paths + 1]
+    du_rr = d_rr_v * c["rr_v"] * (1 - c["rr_v"])
+    g["rr_W2"] = c["h_rr_d"].T @ du_rr
+    g["rr_b2"] = float(du_rr.sum())
+    dh_rr_d = np.outer(du_rr, params["rr_W2"])
+    dh_rr = dh_rr_d if c["m_rr"] is None else dh_rr_d * c["m_rr"]
+    dz_rr = dh_rr * (1 - c["h_rr"] ** 2)
+    g["rr_W1"] = batch["rrank"].T @ dz_rr
+    g["rr_b1"] = dz_rr.sum(axis=0)
+
+    # path branches
+    for k in range(1, n_paths + 1):
+        bc = c["branches"][k - 1]
+        d_pv = d_bp_in[:, k - 1]
+        du = d_pv * bc["pv"] * (1 - bc["pv"])
+        g[f"pv{k}_W"] = bc["bnd"].T @ du
+        g[f"pv{k}_b"] = float(du.sum())
+        d_bnd = np.outer(du, params[f"pv{k}_W"])
+        d_bn = d_bnd if bc["m_bn"] is None else d_bnd * bc["m_bn"]
+        # batchnorm backward (train mode, batch stats)
+        xhat, inv = bc["xhat"], bc["inv"]
+        g[f"bn{k}_gamma"] = (d_bn * xhat).sum(axis=0)
+        g[f"bn{k}_beta"] = d_bn.sum(axis=0)
+        dxhat = d_bn * params[f"bn{k}_gamma"]
+        d_o = inv * (
+            dxhat
+            - dxhat.mean(axis=0)
+            - xhat * (dxhat * xhat).mean(axis=0)
+        )
+        # BPTT
+        Wx, Wh = params[f"rnn{k}_Wx"], params[f"rnn{k}_Wh"]
+        gWx = np.zeros_like(Wx)
+        gWh = np.zeros_like(Wh)
+        gb = np.zeros_like(params[f"rnn{k}_b"])
+        ds = d_o
+        L = bc["xd"].shape[1]
+        for step in range(L - 1, -1, -1):
+            mt = bc["mask"][:, step : step + 1]
+            s_raw = bc["raws"][step]
+            ds_raw = ds * mt
+            da = ds_raw * (1 - s_raw**2)
+            gWx += bc["xd"][:, step, :].T @ da
+            gWh += bc["states"][step].T @ da
+            gb += da.sum(axis=0)
+            ds = da @ Wh.T + ds * (1 - mt)
+        g[f"rnn{k}_Wx"] = gWx
+        g[f"rnn{k}_Wh"] = gWh
+        g[f"rnn{k}_b"] = gb
+    return loss, g
+
+
+def fit_crisscross(
+    batch: dict,
+    y: np.ndarray,
+    ent: np.ndarray,
+    rel: np.ndarray,
+    lr: float = 1e-3,
+    mb: int = 64,
+    epochs: int = 100,
+    patience: int = 20,
+    seed: int = 42,
+    dropout: bool = True,
+) -> dict:
+    """Adam + BPTT over the labeled pair set; early stop on 10% holdout
+    loss (eval-mode forward), restore best. Returns the params dict
+    (running BN stats included) — the broadcastable fitted artifact."""
+    emb = (np.asarray(ent, dtype=np.float64), np.asarray(rel, dtype=np.float64))
+    params = init_params(emb[0].shape[1], emb[1].shape[1], seed=seed)
+    keys = _trained_keys(params)
+    rng = np.random.default_rng(seed + 1)
+    drop_rng = np.random.default_rng(seed + 2) if dropout else None
+    n = len(y)
+    idx = rng.permutation(n)
+    n_val = max(1, n // 10)
+    vi, ti = idx[:n_val], idx[n_val:]
+
+    def take(sel):
+        return {k: v[sel] for k, v in batch.items()}
+
+    val_b, val_y = take(vi), y[vi]
+    m = {k: 0.0 for k in keys}
+    v = {k: 0.0 for k in keys}
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    best = {k: np.copy(params[k]) for k in keys}
+    best_bn = {
+        k: np.copy(params[k]) for k in params if k.endswith(("_mean", "_var"))
+    }
+    best_loss, bad, step = np.inf, 0, 0
+    for _ in range(epochs):
+        order = rng.permutation(len(ti))
+        for s0 in range(0, len(ti), mb):
+            bi = ti[order[s0 : s0 + mb]]
+            if len(bi) < 2:  # BN needs a batch
+                continue
+            loss, g = loss_and_grads(
+                take(bi), y[bi], params, emb, drop_rng=drop_rng,
+                update_running=True,
+            )
+            step += 1
+            for k in keys:
+                m[k] = beta1 * m[k] + (1 - beta1) * g[k]
+                v[k] = beta2 * v[k] + (1 - beta2) * (np.asarray(g[k]) ** 2)
+                mh = m[k] / (1 - beta1**step)
+                vh = v[k] / (1 - beta2**step)
+                params[k] = params[k] - lr * mh / (np.sqrt(vh) + eps)
+        pv, _ = forward(val_b, params, emb, train=False)
+        p1 = pv[np.arange(len(val_y)), val_y.astype(np.int64)]
+        vloss = float(-np.mean(np.log(p1 + 1e-12)))
+        if vloss < best_loss - 1e-6:
+            best_loss, bad = vloss, 0
+            best = {k: np.copy(params[k]) for k in keys}
+            best_bn = {
+                k: np.copy(params[k]) for k in params if k.endswith(("_mean", "_var"))
+            }
+        else:
+            bad += 1
+            if bad >= patience:
+                break
+    params.update(best)
+    params.update(best_bn)
+    return params
+
+
+def batch_from_pandas(pdf: pd.DataFrame) -> dict:
+    """Column frame (CC_INPUT_COLS layout) -> numpy batch dict."""
+    out = {
+        "h": pdf["h"].to_numpy(dtype=np.int64),
+        "t": pdf["t"].to_numpy(dtype=np.int64),
+        "r": pdf["r"].to_numpy(dtype=np.int64),
+        "transe": pdf["trans_conf"].to_numpy(dtype=np.float64),
+        "rrank": np.stack(pdf["rr_features"].to_numpy()).astype(np.float64)
+        if len(pdf)
+        else np.zeros((0, 6)),
+    }
+    for k in range(1, MAX_P + 1):
+        for nm in ("h", "t", "r"):
+            col = pdf[f"path{k}_{nm}"].to_numpy()
+            out[f"p{k}_{nm}"] = (
+                np.stack(col).astype(np.int64)
+                if len(col)
+                else np.zeros((0, MAX_EDGES), dtype=np.int64)
+            )
+    return out
+
+
+def crisscross_udf(spark, params: dict, ent: np.ndarray, rel: np.ndarray):
+    """conf = softmax[:, 1] of the fitted net, one fused numpy forward per
+    Arrow batch (weights + dim-bounded embeddings broadcast once)."""
+    b = spark.sparkContext.broadcast(
+        (params, ent.astype(np.float64), rel.astype(np.float64))
+    )
+
+    @pandas_udf("double")
+    def _conf(*cols: pd.Series) -> pd.Series:
+        p, E, R = b.value
+        pdf = pd.DataFrame({c: s for c, s in zip(CC_INPUT_COLS, cols)})
+        if not len(pdf):
+            return pd.Series(np.zeros(0))
+        probs, _ = forward(batch_from_pandas(pdf), p, (E, R), train=False)
+        return pd.Series(probs[:, 1])
+
+    return _conf
+
+
+def add_confidence(features_df: DataFrame, conf_udf) -> DataFrame:
+    return features_df.withColumn(
+        "conf", conf_udf(*[F.col(c) for c in CC_INPUT_COLS])
+    )

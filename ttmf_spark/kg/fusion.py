@@ -5,11 +5,14 @@ The reference fuses three feature families per triple — path branches
 (token-embedded, SimpleRNN), the 6-dim RR branch, and the raw TransE
 margin — in a Keras network (Model1.py:23-160) trained on labeled pos/neg
 pairs. BASELINE.json licenses a "small MLP/logistic layer" re-expression:
-our fusion consumes the same three families, with the path branches
-summarized by their ranked SD scores + lengths (the quantity the RNN
-branch learns from the token sequence; documented deviation from the
-Keras architecture, same inputs/outputs contract: softmax-style
-confidence in [0, 1] per triple, Model1.py:465-487).
+this module's fusion consumes the same three families, with the path
+branches summarized by their ranked SD scores + lengths + rel_align
+(same inputs/outputs contract: softmax-style confidence in [0, 1] per
+triple, Model1.py:465-487). The FULL architecture — masked SimpleRNN
+token-sequence branches and all — is implemented in
+``ttmf_spark.kg.crisscross`` (``score_triples(kind="crisscross")``);
+this module is the cheap/simple fusion tier (logistic = the reference's
+own gradAscent fallback, MLP = the licensed summary re-expression).
 
 Training is driver-side vectorized numpy (feature matrices are
 query-set-sized, not corpus-sized — SURVEY.md M6), seeded. INFERENCE is

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ttmf_spark.checkpoint import StageStore
-from ttmf_spark.kg import encode, fusion, graph, negatives, pagerank, paths, rrank, transe
+from ttmf_spark.kg import crisscross, encode, fusion, graph, negatives, pagerank, paths, rrank, transe
 from ttmf_spark.kg.threshold import best_threshold
 
 
@@ -170,6 +170,16 @@ def fit_fusion(
 ) -> TTMFModel:
     """Train the fusion layer on the labeled dev pairs (driver-side)."""
     feats = attach_features(ctx, ctx.dev_pairs)
+    if kind == "crisscross":
+        feats = paths.path_features(feats, ctx.ranked_paths)
+        pdf = feats.select(*crisscross.CC_INPUT_COLS, "flag").toPandas()
+        y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
+        model.fusion_weights = crisscross.fit_crisscross(
+            crisscross.batch_from_pandas(pdf), y, model.ent_emb, model.rel_emb,
+            seed=seed,
+        )
+        model.fusion_kind = kind
+        return model
     pdf = feats.select(*fusion.FEATURE_COLS, "flag").toPandas()
     X = fusion.feature_matrix(pdf)
     y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
@@ -186,6 +196,12 @@ def score_ids(
 ) -> DataFrame:
     """Attach the fused ``conf`` column to an id-triple query frame."""
     feats = attach_features(ctx, query)
+    if model.fusion_kind == "crisscross":
+        feats = paths.path_features(feats, ctx.ranked_paths)
+        udf = crisscross.crisscross_udf(
+            spark, model.fusion_weights, model.ent_emb, model.rel_emb
+        )
+        return crisscross.add_confidence(feats, udf)
     if model.fusion_kind == "mlp":
         udf = fusion.mlp_udf(spark, model.fusion_weights)
     else:

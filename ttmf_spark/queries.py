@@ -316,6 +316,52 @@ def q_kg_lowest_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_crisscross_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the REAL crisscross-net inference path (M6 — the numpy
+    re-expression of Model1.py:23-160's three SimpleRNN path branches +
+    RR branch + softmax head) with seeded init weights, seeded embedding
+    matrices, and hash-derived inputs. The masked-RNN forward is not
+    SQL-expressible; exact semantics are pinned by
+    tests/test_crisscross.py (gradient check + loop-oracle parity)."""
+    from ttmf_spark.kg import crisscross
+
+    ids, e_dim = _id_triples(spark, sf_dir)
+    n_ent = e_dim.count()
+    feats = (
+        ids.withColumn(
+            "trans_conf", F.pmod(_h(["h", "r", "t"], 21), F.lit(1000)) / 1000.0
+        )
+        .withColumn(
+            "rr_features",
+            F.array(*[
+                (F.pmod(_h(["h", "r", "t"], 22 + j), F.lit(1000)) / 1000.0)
+                for j in range(6)
+            ]),
+        )
+    )
+    for k in (1, 2, 3):
+        # hash-derived token paths: len in 0..3, ids in [1, n_ent) so the
+        # pad-0 mask semantics stay exercised via the length pattern
+        ln = F.pmod(_h(["h", "r", "t"], 60 + k), F.lit(4))
+        for nm in ("h", "t", "r"):
+            tok = [
+                F.when(
+                    F.lit(i) < ln,
+                    F.pmod(_h(["h", "r", "t"], 70 + 10 * k + i), F.lit(n_ent - 1)) + 1,
+                ).otherwise(F.lit(0)).cast("long")
+                for i in range(paths.MAX_EDGES)
+            ]
+            feats = feats.withColumn(f"path{k}_{nm}", F.array(*tok))
+    rng = np.random.default_rng(123)
+    ent = rng.normal(0, 0.3, (n_ent, 16)).astype(np.float32)
+    rel = rng.normal(0, 0.3, (n_ent, 16)).astype(np.float32)
+    params = crisscross.init_params(16, 16, rnn_h=24, rr_h=16, bp_h=8, seed=7)
+    scored = crisscross.add_confidence(
+        feats, crisscross.crisscross_udf(spark, params, ent, rel)
+    )
+    return scored.select("h", "r", "t", F.round("conf", 6).alias("conf"))
+
+
 def q_kg_score_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the REAL end-to-end score_triples flow (trained TransE +
     fitted fusion — not SQL-expressible) on a deterministic triple subset."""
