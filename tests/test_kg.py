@@ -409,6 +409,23 @@ def test_fit_embeddings_distributed_deterministic(spark, tiny_ids):
     assert np.isfinite(e1).all() and np.isfinite(r1).all()
 
 
+def test_fit_embeddings_distributed_ptranse_kernel(spark, tiny_ids):
+    """M4 distributed trainer with the PTransE objective: deterministic
+    under repartitioning and distinct from the TransE-kernel result."""
+    _, _, ids = tiny_ids
+    e1, r1 = transe.fit_embeddings_distributed(
+        ids, 5, 2, seed=3, epochs=2, n_shards=4, kernel="ptranse"
+    )
+    e2, r2 = transe.fit_embeddings_distributed(
+        ids.repartition(3), 5, 2, seed=3, epochs=2, n_shards=4, kernel="ptranse"
+    )
+    assert np.array_equal(e1, e2) and np.array_equal(r1, r2)
+    et, _rt = transe.fit_embeddings_distributed(
+        ids, 5, 2, seed=3, epochs=2, n_shards=4
+    )
+    assert not np.array_equal(e1, et)  # different objective, different fit
+
+
 def test_embeddings_sink_roundtrip(spark):
     """S9 (TransE.java:773-789): the (id, vec) embedding sink preserves ids,
     dimension, and float32 values exactly."""

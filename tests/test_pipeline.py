@@ -49,6 +49,21 @@ def test_scored_positives_above_corrupted(spark, tiny2):
     assert pos > neg, (pos, neg)
 
 
+def test_two_embedding_mode(spark, tiny2):
+    """ptranse_kw switches path ranking + crisscross frozen vectors to a
+    separate PTransE fit (reference: TransE -> TransConfidence, PTransE ->
+    SearchPaths2/Model1.py:162-164) while energy keeps the TransE fit."""
+    from ttmf_spark.kg.pipeline import build_context
+
+    ctx, model = build_context(
+        spark, tiny2, transe_kw={"epochs": 2}, ptranse_kw={"epochs": 2}
+    )
+    assert model.path_ent_emb is not None
+    assert not np.array_equal(model.p_ent, model.ent_emb)
+    assert model.p_ent.shape == model.ent_emb.shape
+    assert ctx.ranked_paths.count() > 0
+
+
 def test_stage_store_resume(spark, tiny2, tmp_path):
     store = StageStore(str(tmp_path / "ck"))
     calls = {"n": 0}

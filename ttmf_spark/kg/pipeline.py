@@ -26,13 +26,28 @@ from ttmf_spark.kg.threshold import best_threshold
 
 @dataclass
 class TTMFModel:
-    """Driver-resident fitted artifacts (dim-bounded, broadcastable)."""
+    """Driver-resident fitted artifacts (dim-bounded, broadcastable).
+
+    ``path_ent_emb``/``path_rel_emb`` are the PATH-scoring vectors
+    (reference: SearchPaths2 + Model1 load PTransE embeddings,
+    Model1.py:162-164, while TransConfidence loads TransE ones). They
+    default to the TransE matrices in single-embedding mode."""
 
     ent_emb: np.ndarray
     rel_emb: np.ndarray
     fusion_weights: object
     fusion_kind: str = "logistic"
+    path_ent_emb: np.ndarray | None = None
+    path_rel_emb: np.ndarray | None = None
     meta: dict = field(default_factory=dict)
+
+    @property
+    def p_ent(self) -> np.ndarray:
+        return self.ent_emb if self.path_ent_emb is None else self.path_ent_emb
+
+    @property
+    def p_rel(self) -> np.ndarray:
+        return self.rel_emb if self.path_rel_emb is None else self.path_rel_emb
 
 
 @dataclass
@@ -56,8 +71,16 @@ def build_context(
     seed: int = 42,
     store: StageStore | None = None,
     transe_kw: dict | None = None,
+    ptranse_kw: dict | None = None,
 ) -> tuple[FeatureContext, TTMFModel]:
-    """Fit all shared artifacts for a string (s, p, o) triple table."""
+    """Fit all shared artifacts for a string (s, p, o) triple table.
+
+    ``ptranse_kw`` (e.g. ``{"epochs": 10}``) switches path ranking and
+    the crisscross net's frozen embeddings to a separate PTransE fit —
+    the reference's two-embedding setup (TransE -> TransConfidence,
+    PTransE -> SearchPaths2/Model1). Default None = single-embedding
+    mode (TransE vectors everywhere), the cheap configuration.
+    """
 
     def ck(stage: str, build, **kw) -> DataFrame:
         if store is None:
@@ -84,11 +107,17 @@ def build_context(
         "conf_dev2id", lambda: negatives.tc_pairs_ids(dev_ids, n_ent, seed=seed)
     )
 
-    # embeddings: driver-side seeded trainer (SURVEY.md M4)
+    # embeddings: size-routed seeded trainer (SURVEY.md M4)
     ent_emb, rel_emb = transe.fit_embeddings_from_df(
         id_triples, n_ent, n_rel, seed=seed, **(transe_kw or {})
     )
     energy_udf = transe.transe_energy_col(spark, ent_emb, rel_emb)
+    if ptranse_kw is not None:
+        p_ent, p_rel = transe.fit_embeddings_from_df(
+            id_triples, n_ent, n_rel, seed=seed, kernel="ptranse", **ptranse_kw
+        )
+    else:
+        p_ent, p_rel = ent_emb, rel_emb
 
     # graph stages over the full extracted KG
     adj = ck("adjacency", lambda: graph.build_adjacency(id_triples))
@@ -130,8 +159,8 @@ def build_context(
     ex_edges = paths.exploded_edges(adj)
     seeds = all_queries.select("h").distinct()
     cand = paths.enumerate_paths(ex_edges, seeds)
-    score_udf = paths.path_score_udf(spark, ent_emb, rel_emb)
-    align_udf = paths.path_align_udf(spark, rel_emb)
+    score_udf = paths.path_score_udf(spark, p_ent, p_rel)
+    align_udf = paths.path_align_udf(spark, p_rel)
     ranked = ck(
         "ranked_paths",
         lambda: paths.ranked_paths(cand, all_queries, score_udf, align_udf),
@@ -151,6 +180,8 @@ def build_context(
         ent_emb=ent_emb,
         rel_emb=rel_emb,
         fusion_weights=None,
+        path_ent_emb=None if ptranse_kw is None else p_ent,
+        path_rel_emb=None if ptranse_kw is None else p_rel,
         meta={"n_ent": n_ent, "n_rel": n_rel, "seed": seed},
     )
     return ctx, model
@@ -174,8 +205,9 @@ def fit_fusion(
         feats = paths.path_features(feats, ctx.ranked_paths)
         pdf = feats.select(*crisscross.CC_INPUT_COLS, "flag").toPandas()
         y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
+        # frozen embeddings = the PATH vectors (Model1 loads PTransE ones)
         model.fusion_weights = crisscross.fit_crisscross(
-            crisscross.batch_from_pandas(pdf), y, model.ent_emb, model.rel_emb,
+            crisscross.batch_from_pandas(pdf), y, model.p_ent, model.p_rel,
             seed=seed,
         )
         model.fusion_kind = kind
@@ -199,7 +231,7 @@ def score_ids(
     if model.fusion_kind == "crisscross":
         feats = paths.path_features(feats, ctx.ranked_paths)
         udf = crisscross.crisscross_udf(
-            spark, model.fusion_weights, model.ent_emb, model.rel_emb
+            spark, model.fusion_weights, model.p_ent, model.p_rel
         )
         return crisscross.add_confidence(feats, udf)
     if model.fusion_kind == "mlp":
@@ -217,6 +249,7 @@ def score_triples(
     seed: int = 42,
     store: StageStore | None = None,
     transe_kw: dict | None = None,
+    ptranse_kw: dict | None = None,
 ) -> tuple[DataFrame, TTMFModel]:
     """Full flow: string (s, p, o) -> (s, p, o, conf, ...features).
 
@@ -224,7 +257,8 @@ def score_triples(
     confidence from the three fused trust levels.
     """
     ctx, model = build_context(
-        spark, triples, depth=depth, seed=seed, store=store, transe_kw=transe_kw
+        spark, triples, depth=depth, seed=seed, store=store,
+        transe_kw=transe_kw, ptranse_kw=ptranse_kw,
     )
     model = fit_fusion(ctx, model, kind=kind, seed=seed)
     scored = score_ids(spark, ctx, model, ctx.id_triples)

@@ -40,6 +40,95 @@ LR = 0.001
 EPOCHS = 50
 
 
+def _transe_sgd_epoch(
+    ent: np.ndarray,
+    rel: np.ndarray,
+    triples: np.ndarray,
+    rng: np.random.Generator,
+    n_ent: int,
+    lr: float = LR,
+    margin: float = MARGIN,
+    batch: int = 4096,
+) -> None:
+    """One margin-hinge SGD epoch over ``triples``, mutating ent/rel in
+    place (the shared inner kernel of the driver trainer and the
+    per-shard distributed step — identical rng call sequence in both)."""
+    n = len(triples)
+    order = rng.permutation(n)
+    for s in range(0, n, batch):
+        idx = order[s : s + batch]
+        h, r, t = triples[idx, 0], triples[idx, 1], triples[idx, 2]
+        corrupt_head = rng.random(len(idx)) < 0.5
+        neg_e = rng.integers(0, n_ent, len(idx))
+        nh = np.where(corrupt_head, neg_e, h)
+        nt = np.where(corrupt_head, t, neg_e)
+        d_pos = ent[h] + rel[r] - ent[t]
+        d_neg = ent[nh] + rel[r] - ent[nt]
+        s_pos = (d_pos**2).sum(axis=1)
+        s_neg = (d_neg**2).sum(axis=1)
+        viol = margin + s_pos - s_neg > 0
+        if not viol.any():
+            continue
+        g_pos = 2.0 * lr * d_pos[viol]
+        g_neg = 2.0 * lr * d_neg[viol]
+        np.add.at(ent, h[viol], -g_pos)
+        np.add.at(ent, t[viol], g_pos)
+        np.add.at(rel, r[viol], -g_pos + g_neg)
+        np.add.at(ent, nh[viol], g_neg)
+        np.add.at(ent, nt[viol], -g_neg)
+
+
+def _ptranse_sgd_epoch(
+    ent: np.ndarray,
+    rel: np.ndarray,
+    triples: np.ndarray,
+    rng: np.random.Generator,
+    n_ent: int,
+    n_rel: int,
+    lr: float = LR,
+    n_neg: int = 15,
+    bias: float = 7.0,
+    batch: int = 2048,
+) -> None:
+    """One PTransE logistic epoch (sigma(bias - 0.5E), 15 neg/side +
+    relation corruption), mutating ent/rel in place."""
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-np.clip(x, -60, 60)))
+
+    n = len(triples)
+    order = rng.permutation(n)
+    for s in range(0, n, batch):
+        idx = order[s : s + batch]
+        h, r, t = triples[idx, 0], triples[idx, 1], triples[idx, 2]
+        for kind in ("pos", "ent_neg", "rel_neg"):
+            if kind == "pos":
+                hh, rr, tt, sign = h, r, t, 1.0
+                reps = 1
+            else:
+                reps = n_neg if kind == "ent_neg" else 1
+            for _rep in range(reps):
+                if kind == "ent_neg":
+                    corrupt_head = rng.random(len(idx)) < 0.5
+                    ne = rng.integers(0, n_ent, len(idx))
+                    hh = np.where(corrupt_head, ne, h)
+                    tt = np.where(corrupt_head, t, ne)
+                    rr, sign = r, -1.0
+                elif kind == "rel_neg":
+                    hh, tt = h, t
+                    rr = rng.integers(0, n_rel, len(idx))
+                    sign = -1.0
+                d = ent[hh] + rel[rr] - ent[tt]
+                E = (d**2).sum(axis=1)
+                p = sig(bias - 0.5 * E)
+                # dL/dE for label y in {1 pos, 0 neg}: (p - y) * (-0.5)
+                coef = (p - (1.0 if sign > 0 else 0.0)) * (-0.5)
+                g = (2.0 * lr) * coef[:, None] * d
+                np.add.at(ent, hh, -g)
+                np.add.at(ent, tt, g)
+                np.add.at(rel, rr, -g)
+
+
 def train_transe(
     triples: np.ndarray,
     n_ent: int,
@@ -63,33 +152,13 @@ def train_transe(
     ent = rng.uniform(-bound, bound, (n_ent, dim))
     rel = rng.uniform(-bound, bound, (n_rel, dim))
     rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-12)
-    n = len(triples)
-    if n == 0:
+    if len(triples) == 0:
         return ent.astype(np.float32), rel.astype(np.float32)
     for _ in range(epochs):
         ent /= np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-12)
-        order = rng.permutation(n)
-        for s in range(0, n, batch):
-            idx = order[s : s + batch]
-            h, r, t = triples[idx, 0], triples[idx, 1], triples[idx, 2]
-            corrupt_head = rng.random(len(idx)) < 0.5
-            neg_e = rng.integers(0, n_ent, len(idx))
-            nh = np.where(corrupt_head, neg_e, h)
-            nt = np.where(corrupt_head, t, neg_e)
-            d_pos = ent[h] + rel[r] - ent[t]
-            d_neg = ent[nh] + rel[r] - ent[nt]
-            s_pos = (d_pos**2).sum(axis=1)
-            s_neg = (d_neg**2).sum(axis=1)
-            viol = margin + s_pos - s_neg > 0
-            if not viol.any():
-                continue
-            g_pos = 2.0 * lr * d_pos[viol]
-            g_neg = 2.0 * lr * d_neg[viol]
-            np.add.at(ent, h[viol], -g_pos)
-            np.add.at(ent, t[viol], g_pos)
-            np.add.at(rel, r[viol], -g_pos + g_neg)
-            np.add.at(ent, nh[viol], g_neg)
-            np.add.at(ent, nt[viol], -g_neg)
+        _transe_sgd_epoch(
+            ent, rel, triples, rng, n_ent, lr=lr, margin=margin, batch=batch
+        )
     return ent.astype(np.float32), rel.astype(np.float32)
 
 
@@ -126,47 +195,14 @@ def train_ptranse(
     bound = 6.0 / np.sqrt(dim)
     ent = rng.uniform(-bound, bound, (n_ent, dim))
     rel = rng.uniform(-bound, bound, (n_rel, dim))
-    n = len(triples)
-    if n == 0:
+    if len(triples) == 0:
         return ent.astype(np.float32), rel.astype(np.float32)
-
-    def sig(x):
-        return 1.0 / (1.0 + np.exp(-np.clip(x, -60, 60)))
-
     for _ in range(epochs):
         ent /= np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-12)
-        order = rng.permutation(n)
-        for s in range(0, n, batch):
-            idx = order[s : s + batch]
-            h, r, t = triples[idx, 0], triples[idx, 1], triples[idx, 2]
-            # positive: push sigma(bias - 0.5E) up; negatives (corrupt
-            # head/tail/relation): push down. gradient of logloss wrt E.
-            for kind in ("pos", "ent_neg", "rel_neg"):
-                if kind == "pos":
-                    hh, rr, tt, sign = h, r, t, 1.0
-                    reps = 1
-                else:
-                    reps = n_neg if kind == "ent_neg" else 1
-                for _rep in range(reps):
-                    if kind == "ent_neg":
-                        corrupt_head = rng.random(len(idx)) < 0.5
-                        ne = rng.integers(0, n_ent, len(idx))
-                        hh = np.where(corrupt_head, ne, h)
-                        tt = np.where(corrupt_head, t, ne)
-                        rr, sign = r, -1.0
-                    elif kind == "rel_neg":
-                        hh, tt = h, t
-                        rr = rng.integers(0, n_rel, len(idx))
-                        sign = -1.0
-                    d = ent[hh] + rel[rr] - ent[tt]
-                    E = (d**2).sum(axis=1)
-                    p = sig(bias - 0.5 * E)
-                    # dL/dE for label y in {1 pos, 0 neg}: (p - y) * (-0.5)
-                    coef = (p - (1.0 if sign > 0 else 0.0)) * (-0.5)
-                    g = (2.0 * lr) * coef[:, None] * d
-                    np.add.at(ent, hh, -g)
-                    np.add.at(ent, tt, g)
-                    np.add.at(rel, rr, -g)
+        _ptranse_sgd_epoch(
+            ent, rel, triples, rng, n_ent, n_rel,
+            lr=lr, n_neg=n_neg, bias=bias, batch=batch,
+        )
     return ent.astype(np.float32), rel.astype(np.float32)
 
 
@@ -193,15 +229,17 @@ def dev_hinge_loss(
 
 
 def _epoch_shard_trainer(
-    b_params, dim, n_ent, lr, margin, batch, seed, epoch
+    b_params, dim, n_ent, n_rel, lr, margin, batch, seed, epoch,
+    kernel="transe", n_neg=15, bias=7.0,
 ):
     """mapInPandas closure: per-shard one-epoch SGD emitting parameter deltas.
 
     Each shard trains on its own triples starting from the broadcast
-    epoch-start parameters and emits (kind, id, delta) rows only for rows
-    it touched — bounded by shard size, NOT by |V|. Seeded per
-    (seed, epoch, shard) so the result is deterministic under any
-    partition placement.
+    epoch-start parameters (the SAME per-epoch kernel as the driver
+    trainers: ``_transe_sgd_epoch`` / ``_ptranse_sgd_epoch``) and emits
+    (kind, id, delta) rows only for rows it touched — bounded by shard
+    size, NOT by |V|. Seeded per (seed, epoch, shard) so the result is
+    deterministic under any partition placement.
     """
 
     def _run(it):
@@ -221,26 +259,15 @@ def _epoch_shard_trainer(
             rng = np.random.default_rng((seed, epoch, int(sh)))
             ent = ent0.copy()
             rel = rel0.copy()
-            order = rng.permutation(len(tri))
-            for s in range(0, len(tri), batch):
-                idx = order[s : s + batch]
-                h, r, t = tri[idx, 0], tri[idx, 1], tri[idx, 2]
-                corrupt_head = rng.random(len(idx)) < 0.5
-                neg_e = rng.integers(0, n_ent, len(idx))
-                nh = np.where(corrupt_head, neg_e, h)
-                nt = np.where(corrupt_head, t, neg_e)
-                d_pos = ent[h] + rel[r] - ent[t]
-                d_neg = ent[nh] + rel[r] - ent[nt]
-                viol = margin + (d_pos**2).sum(axis=1) - (d_neg**2).sum(axis=1) > 0
-                if not viol.any():
-                    continue
-                g_pos = 2.0 * lr * d_pos[viol]
-                g_neg = 2.0 * lr * d_neg[viol]
-                np.add.at(ent, h[viol], -g_pos)
-                np.add.at(ent, t[viol], g_pos)
-                np.add.at(rel, r[viol], -g_pos + g_neg)
-                np.add.at(ent, nh[viol], g_neg)
-                np.add.at(ent, nt[viol], -g_neg)
+            if kernel == "ptranse":
+                _ptranse_sgd_epoch(
+                    ent, rel, tri, rng, n_ent, n_rel,
+                    lr=lr, n_neg=n_neg, bias=bias, batch=batch,
+                )
+            else:
+                _transe_sgd_epoch(
+                    ent, rel, tri, rng, n_ent, lr=lr, margin=margin, batch=batch
+                )
             de = ent - ent0
             ent_ids = np.nonzero(np.abs(de).sum(axis=1) > 0)[0]
             dr = rel - rel0
@@ -273,8 +300,11 @@ def fit_embeddings_distributed(
     seed: int = 42,
     batch: int = 4096,
     n_shards: int | None = None,
+    kernel: str = "transe",
+    n_neg: int = 15,
+    bias: float = 7.0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Distributed TransE: per-shard SGD + parameter averaging per epoch.
+    """Distributed TransE/PTransE: per-shard SGD + parameter averaging per epoch.
 
     The round-2 replacement for the full-dataset ``toPandas`` (VERDICT
     "What's wrong" #5): triples are hash-sharded ONCE (deterministic in
@@ -313,7 +343,8 @@ def fit_embeddings_distributed(
     bound = 6.0 / np.sqrt(dim)
     ent = rng.uniform(-bound, bound, (n_ent, dim))
     rel = rng.uniform(-bound, bound, (n_rel, dim))
-    rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-12)
+    if kernel != "ptranse":  # TransE init normalizes relations; PTransE not
+        rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-12)
     if sharded.isEmpty():
         return ent.astype(np.float32), rel.astype(np.float32)
     sc = spark.sparkContext
@@ -322,7 +353,10 @@ def fit_embeddings_distributed(
         ent /= np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-12)
         b = sc.broadcast((ent, rel))
         deltas = sharded.mapInPandas(
-            _epoch_shard_trainer(b, dim, n_ent, lr, margin, batch, seed, ep),
+            _epoch_shard_trainer(
+                b, dim, n_ent, n_rel, lr, margin, batch, seed, ep,
+                kernel=kernel, n_neg=n_neg, bias=bias,
+            ),
             schema="sh long, kind int, id long, delta array<double>",
         )
         # fold the per-shard deltas in SHARD order (sort_array on the sh
@@ -363,16 +397,21 @@ def fit_embeddings_from_df(
     n_rel: int,
     seed: int = 42,
     driver_max_triples: int = DRIVER_FIT_MAX_TRIPLES,
+    kernel: str = "transe",
     **kw,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Fit TransE embeddings from an id-triple DataFrame, size-routed.
+    """Fit TransE/PTransE embeddings from an id-triple DataFrame, size-routed.
 
-    Model-scale inputs (<= ``driver_max_triples``; the model itself is
-    dim-bounded and driver-resident anyway) train on the driver with the
-    seeded numpy kernel — paying per-epoch Spark-job overhead for a 40 MB
-    dataset is pure waste. Larger inputs route to
-    ``fit_embeddings_distributed`` (per-shard SGD + parameter averaging;
-    no full-dataset collect). Same routing pattern as the CC union-find
+    ``kernel`` picks the objective: ``"transe"`` (margin hinge — the
+    TransConfidence energy source) or ``"ptranse"`` (logistic, 15
+    neg/side + relation corruption — the vectors SearchPaths2 ranks
+    with, SearchPaths2.py:187 / Model1.py:162-164). Model-scale inputs
+    (<= ``driver_max_triples``; the model itself is dim-bounded and
+    driver-resident anyway) train on the driver with the seeded numpy
+    kernel — paying per-epoch Spark-job overhead for a 40 MB dataset is
+    pure waste. Larger inputs route to ``fit_embeddings_distributed``
+    (per-shard SGD + parameter averaging; no full-dataset collect) with
+    the same per-epoch kernel. Same routing pattern as the CC union-find
     (extract/canonicalize.py). The driver path sorts triples canonically
     first, so both paths are deterministic under any input partitioning.
     """
@@ -383,8 +422,11 @@ def fit_embeddings_from_df(
         tri = pdf.to_numpy(dtype=np.int64)
         if len(tri):
             tri = tri[np.lexsort((tri[:, 2], tri[:, 1], tri[:, 0]))]
-        return train_transe(tri, n_ent, n_rel, seed=seed, **kw)
-    return fit_embeddings_distributed(id_triples, n_ent, n_rel, seed=seed, **kw)
+        trainer = train_ptranse if kernel == "ptranse" else train_transe
+        return trainer(tri, n_ent, n_rel, seed=seed, **kw)
+    return fit_embeddings_distributed(
+        id_triples, n_ent, n_rel, seed=seed, kernel=kernel, **kw
+    )
 
 
 def embeddings_to_df(spark, mat: np.ndarray) -> DataFrame:
