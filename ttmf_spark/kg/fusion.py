@@ -156,16 +156,23 @@ def feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
 
 def attach_path_summary(triples: DataFrame, ranked: DataFrame) -> DataFrame:
     """Add path{k}_score/len/align columns (k=1..3) from the ranked-path
-    table; missing paths get 0.0 (absent path file, PrecessData.py:185)."""
-    out = triples
+    table; missing paths get 0.0 (absent path file, PrecessData.py:185).
+
+    One groupBy + ONE join (not one join per k): the top-3 lines pivot
+    into columns in a single aggregation — at scale this is 1 shuffle
+    against 3. ``line`` is unique per (h, t, r) group, so the
+    null-skipping F.max over the when() projection is deterministic."""
+    aggs = []
     for k in (1, 2, 3):
-        pk = ranked.filter(F.col("line") == k).select(
-            "h", "t", "r",
-            F.col("score").alias(f"path{k}_score"),
-            F.col("len").alias(f"path{k}_len"),
-            F.col("rel_align").alias(f"path{k}_align"),
-        )
-        out = out.join(pk, ["h", "t", "r"], "left")
+        line_k = F.col("line") == k
+        aggs += [
+            F.max(F.when(line_k, F.col("score"))).alias(f"path{k}_score"),
+            F.max(F.when(line_k, F.col("len"))).alias(f"path{k}_len"),
+            F.max(F.when(line_k, F.col("rel_align"))).alias(f"path{k}_align"),
+        ]
+    top = ranked.filter(F.col("line") <= 3).groupBy("h", "t", "r").agg(*aggs)
+    out = triples.join(top, ["h", "t", "r"], "left")
+    for k in (1, 2, 3):
         out = (
             out.withColumn(f"path{k}_score", F.coalesce(f"path{k}_score", F.lit(0.0)))
             .withColumn(

@@ -222,17 +222,20 @@ def path_features(
     For k in 1..max_p adds columns path{k}_h/t/r: the k-th ranked path's
     id arrays zero-padded to MAX_EDGES (PrecessData.py:159-197 pads with
     id 0 — reference quirk preserved: pad id collides with entity 0).
+
+    One groupBy + ONE join (single shuffle, not one join per k); ``line``
+    is unique per (h, t, r) group so the null-skipping F.max over the
+    when() projection deterministically picks the k-th path's arrays.
     """
-    out = triples
+    aggs = []
+    for k in range(1, max_p + 1):
+        line_k = F.col("line") == k
+        for nm, col in (("h", "ph"), ("t", "pt"), ("r", "pr")):
+            aggs.append(F.max(F.when(line_k, F.col(col))).alias(f"_p{nm}{k}"))
+    top = ranked.filter(F.col("line") <= max_p).groupBy("h", "t", "r").agg(*aggs)
+    out = triples.join(top, ["h", "t", "r"], "left")
     pad = F.array_repeat(F.lit(0).cast("long"), MAX_EDGES)
     for k in range(1, max_p + 1):
-        pk = ranked.filter(F.col("line") == k).select(
-            "h", "t", "r",
-            F.col("ph").alias(f"_ph{k}"),
-            F.col("pt").alias(f"_pt{k}"),
-            F.col("pr").alias(f"_pr{k}"),
-        )
-        out = out.join(pk, ["h", "t", "r"], "left")
         for nm in ("h", "t", "r"):
             src = F.coalesce(F.col(f"_p{nm}{k}"), F.array().cast("array<long>"))
             out = out.withColumn(
