@@ -181,7 +181,7 @@ SELECT h, r, t, ROUND(1.0 / (1.0 + exp(-({_Z}))), 6) AS conf FROM feats
 """
 
 
-def kg_lowest_conf_sql(k: int = 100, theta: float = 0.9) -> str:
+def kg_lowest_conf_sql(k: int = 100, theta: float = 0.9999) -> str:
     return f"""
 WITH {KG_BASE.strip()},
 {_feats().strip()},

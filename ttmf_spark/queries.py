@@ -311,8 +311,12 @@ def q_kg_lowest_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ttmf_spark.kg.pipeline import lowest_confidence
 
     scored = q_kg_fusion_conf(spark, sf_dir)
+    # theta=0.9999: the pinned-weight sigmoid saturates (sf0.01 min conf
+    # ~0.976, median ~0.999995), so find_errors' original 0.9 selects zero
+    # rows and the oracle gate would compare empty frames — this theta
+    # keeps the P5 filter + W5 bottom-k genuinely exercised.
     return lowest_confidence(
-        scored, k=100, threshold=0.9, tie_cols=["h", "r", "t"]
+        scored, k=100, threshold=0.9999, tie_cols=["h", "r", "t"]
     )
 
 
