@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_paths": Q.q_kg_paths,
         "kg_threshold_scan": Q.q_kg_threshold_scan,
         "kg_pagerank": Q.q_kg_pagerank,
+        "kg_pagerank_fixed": Q.q_kg_pagerank_fixed,
         "kg_tc_pairs": Q.q_kg_tc_pairs,
         # scoring / evaluation layer (SURVEY.md §2.8-2.9)
         "kg_kgc_candidates": Q.q_kg_kgc_candidates,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_json_stats": Q.q_evt_json_stats,
         # data pipeline: multimodal plumbing
         "media_features": Q.q_media_features,
+        "media_frame_plan": Q.q_media_frame_plan,
     }
 
 
@@ -89,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracles_kg.kg_degrees_sql(),
         "kg_paths": oracles_kg.kg_paths_sql(),
         "kg_threshold_scan": oracles_kg.kg_threshold_scan_sql(),
+        "kg_pagerank_fixed": oracles_kg.kg_pagerank_fixed_sql(),
         "kg_tc_pairs": oracles_eval.kg_tc_pairs_sql(),
         "kg_kgc_candidates": oracles_eval.kg_kgc_candidates_sql(),
         "kg_link_prediction": oracles_eval.kg_link_prediction_sql(),
@@ -112,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "evt_sessions": oracles_events.evt_sessions_sql(),
         "evt_windowed": oracles_events.evt_windowed_sql(),
         "evt_json_stats": oracles_events.evt_json_stats_sql(),
+        "media_frame_plan": oracles_docs.media_frame_plan_sql(),
         # rows-only (no oracle): kg_pagerank, kg_score_e2e (trained TransE
         # + fitted fusion), kg_crisscross_conf (masked-RNN forward),
         # emb_lsh_topk, media_features

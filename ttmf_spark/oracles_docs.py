@@ -296,3 +296,22 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= {k}
 """
+
+
+def media_frame_plan_sql() -> str:
+    """Frame-sampling plan twin: videos from the flattened span table,
+    duration = md5-60bit draw (hash64 fn='md5', seed=0), one row per
+    1000ms frame timestamp in [0, max(dur-1, 0)]."""
+    from ttmf_spark.oracles import span_flatten_sql
+
+    return f"""
+WITH flat AS ({span_flatten_sql()}),
+vids AS (
+  SELECT media_ref,
+         {_md5h("'0' || media_ref")} % 600000 AS dur
+  FROM (SELECT DISTINCT media_ref FROM flat WHERE kind = 'video')
+)
+SELECT media_ref,
+       CAST(unnest(generate_series(0, greatest(dur - 1, 0), 1000)) AS BIGINT) AS frame_ms
+FROM vids
+"""

@@ -205,3 +205,56 @@ best AS (
 SELECT dflt.grp, ROUND(COALESCE(best.b, dflt.d), 9) AS threshold
 FROM dflt LEFT JOIN best ON dflt.grp = best.grp
 """
+
+
+# --- fixed-iteration personalized PageRank (SURVEY.md G2/A7) ----------------
+
+
+def kg_pagerank_fixed_sql(depth: int = 4, k: int = 20) -> str:
+    """Exactly ``k`` Jacobi sweeps of the dangling-patched personalized
+    PageRank (reference pagerank.py:18-85 semantics), unrolled as k chained
+    CTEs — SQL twin of ``pagerank_routed(..., max_iter=k, min_delta=0)``.
+
+    Fixed iteration count makes the fixpoint method SQL-expressible: both
+    sides run the identical float64 recurrence
+    ``pr' = (1-a)/N + a * sum_in pr(src)*w`` from ``pr0(core)=1``, so values
+    agree to ~1e-14 and ROUND(.,6) hashes identically.
+    """
+    a = "CAST(0.85 AS DOUBLE)"
+    parts = [
+        f"sg AS MATERIALIZED (SELECT r.core, e.src, e.dst, e.w FROM reach r "
+        f"JOIN edges e ON e.src = r.node WHERE r.depth <= {depth - 1})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT core, src AS node FROM sg "
+        "UNION SELECT DISTINCT core, dst FROM sg "
+        "UNION SELECT core, core FROM cores)",
+        # dangling patch: no-out-edge nodes get a 0.5 self-loop and (unless
+        # they are the core) a 0.5 edge to the core (pagerank.py:32-44)
+        "dang AS (SELECT n.core, n.node FROM nodes n LEFT JOIN "
+        "(SELECT DISTINCT core, src FROM sg) o "
+        "ON n.core = o.core AND n.node = o.src WHERE o.src IS NULL)",
+        "patched AS MATERIALIZED ("
+        "SELECT core, src, dst, w FROM sg "
+        "UNION ALL SELECT core, node, node, CAST(0.5 AS DOUBLE) FROM dang "
+        "UNION ALL SELECT core, node, core, CAST(0.5 AS DOUBLE) FROM dang "
+        "WHERE node <> core)",
+        "nsz AS (SELECT core, COUNT(*) AS n FROM nodes GROUP BY core)",
+        "pr0 AS (SELECT core, node, CASE WHEN node = core THEN "
+        "CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr FROM nodes)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"pr{i} AS MATERIALIZED (SELECT n.core, n.node, "
+            f"(CAST(1.0 AS DOUBLE) - {a}) / nsz.n "
+            f"+ {a} * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS pr "
+            f"FROM nodes n JOIN nsz ON nsz.core = n.core LEFT JOIN "
+            f"(SELECT e.core, e.dst AS node, SUM(p.pr * e.w) AS mass "
+            f"FROM pr{i - 1} p JOIN patched e "
+            f"ON e.core = p.core AND e.src = p.node "
+            f"GROUP BY e.core, e.dst) m "
+            f"ON m.core = n.core AND m.node = n.node)"
+        )
+    return (
+        f"WITH {KG_BASE.strip()}, {KG_ADJ.strip()}, {KG_CORES.strip()},\n"
+        f"{_bfs_reach(depth)},\n" + ",\n".join(parts) + "\n"
+        f"SELECT core, node, ROUND(pr, 6) AS pr FROM pr{k}"
+    )

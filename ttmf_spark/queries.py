@@ -155,6 +155,22 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/A7 hash-gated: exactly 20 Jacobi sweeps (min_delta=0) so the
+    fixpoint method itself gets a DuckDB oracle (unrolled-CTE twin in
+    oracles_kg.kg_pagerank_fixed_sql). Same production pipeline as
+    q_kg_pagerank (routed, dangling-patched), only the stop rule differs."""
+    e_dim, edges, adj = _edges(spark, sf_dir)
+    cores = _cores(e_dim, "O", 100)
+    reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+    sg = graph.subgraph_edges(edges, reach, depth=4).localCheckpoint(eager=True)
+    nodes = graph.subgraph_nodes(sg, cores)
+    patched = pagerank.patched_edges(sg, nodes)
+    return pagerank.pagerank_routed(
+        patched, nodes, max_iter=20, min_delta=0.0
+    ).select("core", "node", F.round("pr", 6).alias("pr"))
+
+
 def q_kg_tc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N1 pos/neg pair generation, md5-portable draw for the DuckDB oracle
     (production uses the identical construction on xxhash64)."""
@@ -487,6 +503,31 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_ref", "kind", F.round(F.element_at("features", 1), 4).alias("f0")
     )
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan, hash-gated: the explode/sequence
+    plumbing of multimodal.frame_sample_plan over a video table whose
+    duration is the md5-portable draw (DuckDB twin in
+    oracles_docs.media_frame_plan_sql). Production media_table uses the
+    identical construction on xxhash64."""
+    flat = corpus.flat_spans(spark, sf_dir)
+    vids = (
+        flat.filter(F.col("kind") == "video")
+        .select("media_ref")
+        .distinct()
+        .select(
+            "media_ref",
+            F.lit("video").alias("kind"),
+            F.struct(
+                (dedup.hash64(F.col("media_ref"), seed=0, fn="md5") % 600000)
+                .cast("int")
+                .alias("duration_ms")
+            ).alias("meta"),
+        )
+    )
+    plan = multimodal.frame_sample_plan(vids, every_ms=1000)
+    return plan.select("media_ref", F.col("frame_ms").cast("long").alias("frame_ms"))
 
 
 # --- data pipeline: event streams -------------------------------------------
