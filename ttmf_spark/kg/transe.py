@@ -149,17 +149,25 @@ def train_transe(
     """
     rng = np.random.default_rng(seed)
     bound = 6.0 / np.sqrt(dim)
-    ent = rng.uniform(-bound, bound, (n_ent, dim))
-    rel = rng.uniform(-bound, bound, (n_rel, dim))
-    rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-12)
+    # train in float32: the SGD is bandwidth-bound (gathers + np.add.at
+    # scatters dominate), halving bytes is ~1.5x wall on the bench box and
+    # the returned matrices are float32 anyway; the rng draw sequence is
+    # unchanged (cast AFTER each float64 draw), so seeds stay comparable
+    ent = rng.uniform(-bound, bound, (n_ent, dim)).astype(np.float32)
+    rel = rng.uniform(-bound, bound, (n_rel, dim)).astype(np.float32)
+    rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-12).astype(
+        np.float32
+    )
     if len(triples) == 0:
-        return ent.astype(np.float32), rel.astype(np.float32)
+        return ent, rel
     for _ in range(epochs):
-        ent /= np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-12)
+        ent /= np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-12).astype(
+            np.float32
+        )
         _transe_sgd_epoch(
             ent, rel, triples, rng, n_ent, lr=lr, margin=margin, batch=batch
         )
-    return ent.astype(np.float32), rel.astype(np.float32)
+    return ent, rel
 
 
 def train_ptranse(
@@ -193,17 +201,20 @@ def train_ptranse(
     """
     rng = np.random.default_rng(seed)
     bound = 6.0 / np.sqrt(dim)
-    ent = rng.uniform(-bound, bound, (n_ent, dim))
-    rel = rng.uniform(-bound, bound, (n_rel, dim))
+    # float32 for the same bandwidth reason as train_transe
+    ent = rng.uniform(-bound, bound, (n_ent, dim)).astype(np.float32)
+    rel = rng.uniform(-bound, bound, (n_rel, dim)).astype(np.float32)
     if len(triples) == 0:
-        return ent.astype(np.float32), rel.astype(np.float32)
+        return ent, rel
     for _ in range(epochs):
-        ent /= np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-12)
+        ent /= np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-12).astype(
+            np.float32
+        )
         _ptranse_sgd_epoch(
             ent, rel, triples, rng, n_ent, n_rel,
             lr=lr, n_neg=n_neg, bias=bias, batch=batch,
         )
-    return ent.astype(np.float32), rel.astype(np.float32)
+    return ent, rel
 
 
 def dev_hinge_loss(
