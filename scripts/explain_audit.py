@@ -122,6 +122,26 @@ def main() -> None:
     audit("evt_windowed", evops.windowed_counts(ev), out,
           forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"])
 
+    # multimodal frame plan: pure column ops + explode — stays JVM-side
+    from ttmf_spark import queries as Q
+
+    audit(
+        "media_frame_plan",
+        Q.q_media_frame_plan(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BatchEvalPython"],
+    )
+
+    # fixed-iteration PageRank: grouped-Arrow kernel (FlatMapGroupsInPandas
+    # is the design), dim joins broadcast, never a cartesian
+    audit(
+        "kg_pagerank_fixed",
+        Q.q_kg_pagerank_fixed(spark, sf_dir),
+        out,
+        expect=["FlatMapGroupsInPandas"],
+        forbid=["CartesianProduct"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:
