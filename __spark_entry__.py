@@ -112,11 +112,13 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk": oracles_docs.emb_topk_sql(),
         "emb_near_dup": oracles_docs.emb_near_dup_sql(),
         "emb_ivf_topk": oracles_docs.emb_ivf_topk_sql(),
+        "emb_lsh_topk": oracles_docs.emb_lsh_topk_sql(),
         "evt_sessions": oracles_events.evt_sessions_sql(),
         "evt_windowed": oracles_events.evt_windowed_sql(),
         "evt_json_stats": oracles_events.evt_json_stats_sql(),
         "media_frame_plan": oracles_docs.media_frame_plan_sql(),
-        # rows-only (no oracle): kg_pagerank, kg_score_e2e (trained TransE
-        # + fitted fusion), kg_crisscross_conf (masked-RNN forward),
-        # emb_lsh_topk, media_features
+        # rows-only (no oracle): kg_pagerank (convergence-stop fixpoint —
+        # the fixed-iteration twin kg_pagerank_fixed IS hash-gated),
+        # kg_score_e2e (trained TransE + fitted fusion), kg_crisscross_conf
+        # (masked-RNN forward), media_features (RNG-seeded fake decode)
     }

@@ -315,3 +315,42 @@ SELECT media_ref,
        CAST(unnest(generate_series(0, greatest(dur - 1, 0), 1000)) AS BIGINT) AS frame_ms
 FROM vids
 """
+
+
+def emb_lsh_topk_sql(
+    k: int = 5, p: int = 4, seed: int = 42, dim: int = 64, query_mod: int = 50
+) -> str:
+    """Exact twin of similarity.lsh_topk: the hyperplanes are driver-side
+    constants injected as literals on BOTH sides (same seeded floats, full
+    repr precision), so the bucket assignment — sign of a double dot
+    against the raw embedding — is reproducible in SQL, and the
+    bucket-join + exact-cosine rank is then plain relational algebra."""
+    from ttmf_spark.datapipe.similarity import hyperplanes
+
+    planes = hyperplanes(dim, p, seed)
+
+    def lit(h: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in h) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(h)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, h in enumerate(planes)
+    )
+    return f"""
+WITH {_UNIT_EMB.strip()},
+b AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM u),
+cset AS (SELECT un.vec_id, un.uv, b.bucket FROM un JOIN b USING (vec_id)),
+q AS (SELECT vec_id AS query_id, uv AS qv, bucket FROM cset
+      WHERE vec_id % {query_mod} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(c.uv, q.qv), 6) AS cos
+  FROM cset c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= {k}
+"""

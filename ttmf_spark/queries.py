@@ -475,7 +475,9 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: approximate by construction."""
+    """Sign-LSH top-k. Approximate vs brute force by construction, but
+    exactly reproducible: the seeded hyperplanes are literal constants on
+    both sides, so oracles_docs.emb_lsh_topk_sql is a hash-exact twin."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.lsh_topk(emb, queries, k=5, p=4, dim=64)
