@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": Q.q_doc_exact_dedup,
         "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
         "doc_minhash_pairs": Q.q_doc_minhash_pairs,
+        "doc_near_dup_clusters": Q.q_doc_near_dup_clusters,
         "doc_simhash": Q.q_doc_simhash,
         "doc_simhash_near_dup": Q.q_doc_simhash_near_dup,
         # data pipeline: similarity search
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": oracles_docs.doc_exact_dedup_sql(),
         "doc_jaccard_pairs": oracles_docs.doc_jaccard_pairs_sql(),
         "doc_minhash_pairs": oracles_docs.doc_minhash_pairs_sql(),
+        "doc_near_dup_clusters": oracles_docs.doc_near_dup_clusters_sql(),
         "doc_simhash": oracles_docs.doc_simhash_sql(),
         "doc_simhash_near_dup": oracles_docs.doc_simhash_near_dup_sql(),
         "emb_topk": oracles_docs.emb_topk_sql(),

@@ -199,3 +199,27 @@ def test_ivf_topk_exact_within_probed_cells(spark):
     ).collect()
     assert {tuple(r.asDict()) or () for r in refined} is not None
     assert all(1 <= r["rank"] <= 5 for r in refined)
+
+
+def test_near_dup_clusters_chain(spark):
+    """near_dup_clusters: a duplicate CHAIN (a~b, b~c, but a!~c after LSH
+    thresholding would still connect via CC) collapses to ONE representative
+    = min doc_id; unpaired docs keep themselves. Also pins the min-label
+    semantics the DuckDB oracle unrolls."""
+    from ttmf_spark.datapipe import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (10, base),                         # chain member
+        (11, base + " extra"),              # near-dup of 10
+        (12, base + " extra more"),         # near-dup of 11 (chain)
+        (30, "completely different text about spark dataframes and arrow"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.near_dup_clusters(docs, tau=0.5, k=16, bands=8, n=3)
+    got = {r["doc_id"]: (r["rep_id"], r["keep"]) for r in out.collect()}
+    assert got[30] == (30, 1)                     # unpaired -> itself
+    reps = {got[i][0] for i in (10, 11, 12)}
+    assert reps == {10}, got                      # one cluster, min id wins
+    assert [got[i][1] for i in (10, 11, 12)] == [1, 0, 0]
+    assert out.count() == 4

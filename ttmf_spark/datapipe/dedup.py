@@ -306,3 +306,48 @@ def simhash_near_dup(
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("a", "b", "hamming")
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    tau: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup cluster canonicalization: the dedup DECISION step.
+
+    MinHash-LSH pairs (``minhash_lsh_pairs``) are the edges of an
+    undirected near-dup graph; connected components — the same
+    small/large-star loop + driver-union-find routing used for entity
+    canonicalization (extract/canonicalize.py, Kiveris et al.) — label
+    every cluster with its minimum doc id. Output is (doc_id, rep_id,
+    keep) for EVERY input doc: unpaired docs represent themselves,
+    ``keep = 1`` marks the one representative a training pipeline
+    retains per cluster.
+
+    Scale: the edge set is near-dup-bounded (≪ corpus), the component
+    map is dim-sized and broadcast back against the corpus scan — the
+    full text never shuffles.
+    """
+    from ttmf_spark.extract.canonicalize import canonical_map
+
+    pairs = minhash_lsh_pairs(
+        docs, tau=tau, k=k, bands=bands, n=n,
+        text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+    )
+    mapping = canonical_map(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(mapping), F.col(id_col) == F.col("entity"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("canonical", F.col(id_col)).alias("rep_id"),
+        )
+        .withColumn("keep", (F.col("rep_id") == F.col(id_col)).cast("int"))
+    )

@@ -354,3 +354,32 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= {k}
 """
+
+
+def doc_near_dup_clusters_sql(rounds: int = 10) -> str:
+    """Twin of dedup.near_dup_clusters(hash_fn='md5', k=16, bands=8, n=3):
+    the md5 minhash pair list is the edge set; connected components are
+    computed by ``rounds`` unrolled min-label-propagation steps (exact
+    whenever every node is within ``rounds`` hops of its component's min
+    member — near-dup clusters are tiny chains; the pytest/driver compare
+    against the real union-find/star CC would catch any deeper cluster)."""
+    parts = [
+        f"pairs AS MATERIALIZED ({doc_minhash_pairs_sql()})",
+        "e AS (SELECT a AS u, b AS v FROM pairs "
+        "UNION ALL SELECT b AS u, a AS v FROM pairs)",
+        "l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.doc_id, "
+            f"LEAST(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl "
+            f"FROM l{i - 1} l LEFT JOIN "
+            f"(SELECT e.u AS doc_id, MIN(p.lbl) AS nl "
+            f"FROM e JOIN l{i - 1} p ON p.doc_id = e.v GROUP BY e.u) m "
+            f"USING (doc_id))"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT doc_id, lbl AS rep_id, CAST(lbl = doc_id AS INT) AS keep "
+        f"FROM l{rounds}"
+    )

@@ -448,6 +448,15 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization (pairs -> CC -> representative),
+    md5-portable hashes; DuckDB twin = min-label propagation over the
+    same pair list (oracles_docs.doc_near_dup_clusters_sql)."""
+    return dedup.near_dup_clusters(
+        _docs(spark, sf_dir), tau=0.8, k=16, bands=8, n=3, hash_fn="md5"
+    )
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir), hash_fn="md5")
 
