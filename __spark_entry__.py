@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": Q.q_doc_quality,
         "doc_langid": Q.q_doc_langid,
         "doc_fingerprint": Q.q_doc_fingerprint,
+        "doc_top_ngrams": Q.q_doc_top_ngrams,
         "doc_exact_dedup": Q.q_doc_exact_dedup,
         "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
         "doc_minhash_pairs": Q.q_doc_minhash_pairs,
@@ -105,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": oracles_docs.doc_quality_sql(),
         "doc_langid": oracles_docs.doc_langid_sql(),
         "doc_fingerprint": oracles_docs.doc_fingerprint_sql(),
+        "doc_top_ngrams": oracles_docs.doc_top_ngrams_sql(),
         "doc_exact_dedup": oracles_docs.doc_exact_dedup_sql(),
         "doc_jaccard_pairs": oracles_docs.doc_jaccard_pairs_sql(),
         "doc_minhash_pairs": oracles_docs.doc_minhash_pairs_sql(),

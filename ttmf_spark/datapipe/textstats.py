@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tiny built-in stopword lexicon (top function words per language) for the
 # n-gram/stopword language-ID heuristic; deliberately small + deterministic.
@@ -112,3 +113,46 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     lowercased text (portable across engines — exact DuckDB oracle)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return docs.withColumn("fingerprint", F.md5(norm))
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams: (ngram, freq, rank).
+
+    Count is over every occurrence (not per-doc distinct); ties break on
+    the ngram string ascending so the result is deterministic. One
+    shuffle on the ngram with map-side partial counts; the final top-k is
+    a single-partition window over the (tiny) count table — at a 100 TB
+    corpus swap the window for an aggregated TakeOrdered (orderBy+limit),
+    which Spark plans without a global sort.
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
+        lambda t: t != "",
+    )
+    d = docs.select(toks.alias("_toks")).withColumn("_n", F.size("_toks"))
+    grams = F.when(
+        F.col("_n") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_n") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array())
+    counts = (
+        d.select(F.explode(grams).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = counts.orderBy(F.col("freq").desc(), F.col("ngram").asc()).limit(k)
+    return ranked.select(
+        "ngram",
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("ngram").asc()))
+        .alias("rank"),
+    )

@@ -383,3 +383,28 @@ def doc_near_dup_clusters_sql(rounds: int = 10) -> str:
         f"SELECT doc_id, lbl AS rep_id, CAST(lbl = doc_id AS INT) AS keep "
         f"FROM l{rounds}"
     )
+
+
+def doc_top_ngrams_sql(n: int = 2, k: int = 20) -> str:
+    """Twin of textstats.top_ngrams: every-occurrence n-gram counts,
+    ties broken on the ngram string ascending."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(l) >= {n}
+                THEN [array_to_string(l[i+1:i+{n}], ' ') for i in range(0, len(l)-{n}+1)]
+                ELSE [] END) AS ngram
+  FROM toks
+),
+counts AS (
+  SELECT ngram, COUNT(*) AS freq FROM grams WHERE ngram <> '' GROUP BY ngram
+)
+SELECT ngram, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, ngram ASC) AS INT) AS rank
+FROM counts ORDER BY freq DESC, ngram ASC LIMIT {k}
+"""

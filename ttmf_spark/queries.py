@@ -424,6 +424,11 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def q_doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams (every-occurrence counts, lex tie-break)."""
+    return textstats.top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_fingerprint(_docs(spark, sf_dir)).select(
         "doc_id", "fingerprint"
