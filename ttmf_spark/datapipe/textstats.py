@@ -156,3 +156,38 @@ def top_ngrams(
         .over(Window.orderBy(F.col("freq").desc(), F.col("ngram").asc()))
         .alias("rank"),
     )
+
+
+def source_stats(docs: DataFrame, source_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Per-source curation stats: (source, n_docs, avg_quality,
+    p50_tokens, p90_tokens) — the "which sources produce junk" query of a
+    training-data pipeline. Per-doc quality is rounded to 6 before the
+    mean so the DuckDB twin is bit-exact; percentiles are EXACT linear
+    interpolation (matches quantile_cont). Scale note: exact percentile
+    buffers each group's values — at 100 TB swap for approx_percentile
+    (same shape, sketch-based); the source key is dim-sized either way.
+    """
+    q = with_quality_score(with_token_counts(docs, text_col), text_col)
+    return q.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.round("quality", 6)), 6).alias("avg_quality"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90_tokens"),
+    )
+
+
+def langid_eval(docs: DataFrame, label_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Evaluate the marker-based lang-ID against the labeled column:
+    (lang, n_docs, n_correct, accuracy) per true language — the pipeline
+    QA op that decides whether the heuristic is good enough per slice."""
+    d = with_lang_id(docs, text_col)
+    return (
+        d.groupBy(F.col(label_col).alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("lang_pred") == F.col(label_col)).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n_docs"), 6))
+    )

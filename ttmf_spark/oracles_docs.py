@@ -408,3 +408,35 @@ SELECT ngram, freq,
        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, ngram ASC) AS INT) AS rank
 FROM counts ORDER BY freq DESC, ngram ASC LIMIT {k}
 """
+
+
+def doc_source_stats_sql() -> str:
+    """Twin of textstats.source_stats: per-doc quality from
+    doc_quality_sql (already rounded to 6), exact interpolated quantiles
+    via quantile_cont."""
+    return f"""
+WITH q AS ({doc_quality_sql().strip()}),
+t AS (SELECT doc_id, len({_TOKS}) AS n_tokens, source FROM documents)
+SELECT t.source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(q.quality), 6) AS avg_quality,
+       ROUND(quantile_cont(t.n_tokens, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(t.n_tokens, 0.9), 6) AS p90_tokens
+FROM t JOIN q ON t.doc_id = q.doc_id
+GROUP BY t.source
+"""
+
+
+def doc_langid_eval_sql() -> str:
+    """Twin of textstats.langid_eval over the labeled lang column."""
+    return f"""
+WITH pred AS ({doc_langid_sql().strip()})
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pred.lang_pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN pred.lang_pred = d.lang THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+GROUP BY d.lang
+"""

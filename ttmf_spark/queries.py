@@ -424,6 +424,20 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation stats (count, mean quality, exact p50/p90
+    token counts) — the 'which sources produce junk' pipeline query."""
+    return textstats.source_stats(_docs(spark, sf_dir))
+
+
+def q_doc_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID accuracy vs the labeled lang column. On this synthetic
+    corpus the text is English-templated whatever the label says, so
+    non-en accuracy is honestly ~0 — the op under test is the eval
+    aggregation, not the heuristic."""
+    return textstats.langid_eval(_docs(spark, sf_dir))
+
+
 def q_doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 bigrams (every-occurrence counts, lex tie-break)."""
     return textstats.top_ngrams(_docs(spark, sf_dir), n=2, k=20)
