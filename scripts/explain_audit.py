@@ -132,6 +132,34 @@ def main() -> None:
         forbid=["CartesianProduct", "BatchEvalPython"],
     )
 
+    # near-dup clustering: LSH pairs -> iterative min-label CC. The loop
+    # localCheckpoints between sweeps, so the audited plan is the final
+    # join+agg sweep — must be hash joins, never cartesian.
+    audit(
+        "doc_near_dup_clusters",
+        Q.q_doc_near_dup_clusters(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+    # corpus top-k n-grams: explode -> partial+final hash agg -> one
+    # top-k sort; all JVM-side (no Python), one shuffle for the count.
+    audit(
+        "doc_top_ngrams",
+        Q.q_doc_top_ngrams(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+
+    # per-source curation stats: single hash agg w/ exact percentiles,
+    # JVM-side end to end.
+    audit(
+        "doc_source_stats",
+        Q.q_doc_source_stats(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+
     # fixed-iteration PageRank: grouped-Arrow kernel (FlatMapGroupsInPandas
     # is the design), dim joins broadcast, never a cartesian
     audit(
