@@ -80,6 +80,10 @@ SCALING_BASE_CPUS = int(os.environ.get("SPARK_GRAFT_SCALING_BASE", "2"))
 SCALING_REP = int(os.environ.get("SPARK_GRAFT_SCALING_REP", "8"))
 SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "7"))
 SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+# extra interleaved rounds visiting ONLY the headline N->4N pair: the min
+# estimator needs samples from enough host-noise windows, and the pair's
+# levels are where extra samples pay (higher levels are context only)
+SCALING_PAIR_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_PAIR_ROUNDS", "1"))
 # small-data parallelism: keep AQE's post-shuffle coalescing from collapsing
 # bench-scale shuffles (~50 MB) into 1 partition — at 100 TB the default
 # 64 MB advisory is right, at sf<=0.1 it serializes every stage.
@@ -317,26 +321,35 @@ def _scaling_probe(spark, docs_path, timings, extras) -> None:
         # so both sides of each pair sample the same noise windows.
         treps = max(2, SCALING_RUNS // SCALING_ROUNDS)
         n_c = None
+
+        def _ladder_level(cores: int, tag: str) -> None:
+            nonlocal n_c
+            os.sched_setaffinity(0, range(cores))  # JVM + workers inherit
+            try:
+                s = get_spark(
+                    app_name=f"ttmf_bench_scale_{cores}_{tag}",
+                    cores=str(cores),
+                    shuffle_partitions=2 * levels[-1],
+                    extra_conf=BENCH_CONF,
+                )
+                outp = os.path.join(
+                    WORK, f"triples_out_scale_{cores}.parquet"
+                )
+                _run_extract(s, rep_path, SF_DIR, outp)  # warm, untimed
+                for _ in range(treps):
+                    dt_c, n_c = _run_extract(s, rep_path, SF_DIR, outp)
+                    runs_log[str(cores)].append(round(dt_c, 2))
+                s.stop()
+            finally:
+                os.sched_setaffinity(0, full_affinity)
+
         for _round in range(SCALING_ROUNDS):
             for cores in levels:
-                os.sched_setaffinity(0, range(cores))  # JVM + workers inherit
-                try:
-                    s = get_spark(
-                        app_name=f"ttmf_bench_scale_{cores}_r{_round}",
-                        cores=str(cores),
-                        shuffle_partitions=2 * levels[-1],
-                        extra_conf=BENCH_CONF,
-                    )
-                    outp = os.path.join(
-                        WORK, f"triples_out_scale_{cores}.parquet"
-                    )
-                    _run_extract(s, rep_path, SF_DIR, outp)  # warm, untimed
-                    for _ in range(treps):
-                        dt_c, n_c = _run_extract(s, rep_path, SF_DIR, outp)
-                        runs_log[str(cores)].append(round(dt_c, 2))
-                    s.stop()
-                finally:
-                    os.sched_setaffinity(0, full_affinity)
+                _ladder_level(cores, f"r{_round}")
+        # extra min-samples for the headline pair only (see SCALING_PAIR_ROUNDS)
+        for _round in range(SCALING_PAIR_ROUNDS if len(levels) > 1 else 0):
+            for cores in levels[:2]:
+                _ladder_level(cores, f"p{_round}")
         for cores in levels:
             thr[cores] = n_c / min(runs_log[str(cores)])
         pairs = {}
@@ -361,7 +374,8 @@ def _scaling_probe(spark, docs_path, timings, extras) -> None:
             if len(levels) > 1 else None,
             "methodology": "cpu-affinity-pinned sessions; "
             f"{SCALING_ROUNDS} interleaved rounds x (1 warm + "
-            f"{max(2, SCALING_RUNS // SCALING_ROUNDS)} timed) runs/level, "
+            f"{max(2, SCALING_RUNS // SCALING_ROUNDS)} timed) runs/level "
+            f"+ {SCALING_PAIR_ROUNDS} extra rounds on the headline pair, "
             "min across rounds (multi-minute host-noise windows hit every "
             "level equally), same input + shuffle partitioning at every "
             "level",
