@@ -160,6 +160,15 @@ def main() -> None:
         forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
     )
 
+    # repetition stats: per-row array exprs only — NO shuffle (no
+    # Exchange), no Python, no join; the whole op rides the scan
+    audit(
+        "doc_repetition",
+        Q.q_doc_repetition(spark, sf_dir),
+        out,
+        forbid=["Exchange", "CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+
     # fixed-iteration PageRank: grouped-Arrow kernel (FlatMapGroupsInPandas
     # is the design), dim joins broadcast, never a cartesian
     audit(

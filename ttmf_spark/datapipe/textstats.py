@@ -191,3 +191,61 @@ def langid_eval(docs: DataFrame, label_col: str = "lang", text_col: str = "text"
         )
         .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n_docs"), 6))
     )
+
+
+def _rep_exprs(n: int):
+    """Column exprs (total, dup_frac, top_frac) for word n-gram repetition
+    over a `_toks` array column. All array/higher-order expressions — the
+    whole computation is per-row JVM work, NO shuffle at any scale (the
+    Gopher-style repetition signals are embarrassingly parallel and this
+    keeps them that way; the exploded groupBy formulation would shuffle
+    one row per n-gram occurrence).
+
+    Run-length walk over the sorted n-gram array: `dup` = occurrences of
+    n-grams appearing more than once, `top` = occurrences of the most
+    frequent n-gram (ties need no break — only the count is used).
+    """
+    grams = (
+        f"case when size(_toks) >= {n} then "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        "else array() end"
+    )
+    agg = (
+        f"aggregate(array_sort({grams}), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'dup', 0L, 'top', 0L), "
+        "(acc, g) -> if(acc.prev is not null and g = acc.prev, "
+        "named_struct('prev', g, 'run', acc.run + 1L, 'dup', acc.dup, 'top', acc.top), "
+        "named_struct('prev', g, 'run', 1L, "
+        "'dup', acc.dup + if(acc.run > 1L, acc.run, 0L), "
+        "'top', greatest(acc.top, acc.run))), "
+        "acc -> named_struct("
+        "'dup', acc.dup + if(acc.run > 1L, acc.run, 0L), "
+        "'top', greatest(acc.top, acc.run)))"
+    )
+    total = F.expr(f"size({grams})").cast("long")
+    st = F.expr(agg)
+    dup_frac = F.when(total > 0, F.round(st["dup"] / total, 6)).otherwise(F.lit(0.0))
+    top_frac = F.when(total > 0, F.round(st["top"] / total, 6)).otherwise(F.lit(0.0))
+    return total, dup_frac, top_frac
+
+
+def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate/repetition quality signals (the Gopher/MassiveText
+    repetition rules, word-occurrence variant): per doc, for n in {2, 3},
+    the fraction of n-gram occurrences belonging to repeated n-grams
+    (`dup_Ngram_frac`) and to the single most frequent n-gram
+    (`top_Ngram_frac`), plus the occurrence total. High values mark
+    template/boilerplate docs a training-data pipeline should drop."""
+    d = docs.withColumn("_toks", _tokens(F.col(text_col)))
+    t2, d2, p2 = _rep_exprs(2)
+    t3, d3, p3 = _rep_exprs(3)
+    return (
+        d.withColumn("n_2grams", t2)
+        .withColumn("dup_2gram_frac", d2)
+        .withColumn("top_2gram_frac", p2)
+        .withColumn("n_3grams", t3)
+        .withColumn("dup_3gram_frac", d3)
+        .withColumn("top_3gram_frac", p3)
+        .drop("_toks")
+    )

@@ -440,3 +440,45 @@ SELECT d.lang,
 FROM documents d JOIN pred ON d.doc_id = pred.doc_id
 GROUP BY d.lang
 """
+
+
+def doc_repetition_sql() -> str:
+    """Twin of textstats.with_repetition_stats (dup/top word n-gram
+    occurrence fractions, n in {2,3}) via unnest + two-level GROUP BY;
+    docs too short for any n-gram rejoin with zeros."""
+    per_n = """
+  SELECT g.doc_id,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup,
+         CAST(MAX(c) AS BIGINT) AS top
+  FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (
+      SELECT doc_id, UNNEST(
+        CASE WHEN len(tk) >= {n}
+        THEN list_transform(range(1, len(tk) - {n} + 2),
+                            i -> array_to_string(tk[i : i + {n} - 1], ' '))
+        ELSE [] END) AS g
+      FROM toks
+    )
+    GROUP BY doc_id, g
+  ) g
+  GROUP BY g.doc_id
+"""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+a2 AS ({per_n.format(n=2)}),
+a3 AS ({per_n.format(n=3)})
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+       COALESCE(a2.total, 0) AS n_2grams,
+       COALESCE(ROUND(a2.dup / CAST(a2.total AS DOUBLE), 6), 0.0) AS dup_2gram_frac,
+       COALESCE(ROUND(a2.top / CAST(a2.total AS DOUBLE), 6), 0.0) AS top_2gram_frac,
+       COALESCE(a3.total, 0) AS n_3grams,
+       COALESCE(ROUND(a3.dup / CAST(a3.total AS DOUBLE), 6), 0.0) AS dup_3gram_frac,
+       COALESCE(ROUND(a3.top / CAST(a3.total AS DOUBLE), 6), 0.0) AS top_3gram_frac
+FROM documents d
+LEFT JOIN a2 ON d.doc_id = a2.doc_id
+LEFT JOIN a3 ON d.doc_id = a3.doc_id
+"""

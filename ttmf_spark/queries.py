@@ -424,6 +424,12 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals: dup/top word n-gram
+    occurrence fractions (n in {2,3}) per doc — shuffle-free array exprs."""
+    return textstats.with_repetition_stats(_docs(spark, sf_dir))
+
+
 def q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation stats (count, mean quality, exact p50/p90
     token counts) — the 'which sources produce junk' pipeline query."""
