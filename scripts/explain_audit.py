@@ -169,6 +169,15 @@ def main() -> None:
         forbid=["Exchange", "CartesianProduct", "MapInPandas", "BatchEvalPython"],
     )
 
+    # Adamic-Adar: the z self-join must be a hash join with the degree
+    # guard applied BEFORE it; no cartesian, no Python
+    audit(
+        "kg_common_neighbors",
+        Q.q_kg_common_neighbors(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    )
+
     # fixed-iteration PageRank: grouped-Arrow kernel (FlatMapGroupsInPandas
     # is the design), dim joins broadcast, never a cartesian
     audit(

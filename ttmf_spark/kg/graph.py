@@ -148,3 +148,63 @@ def subgraph_degrees(sg_edges: DataFrame) -> DataFrame:
         F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
         F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
     )
+
+
+def common_neighbor_scores(
+    id_triples: DataFrame,
+    max_degree: int | None = 1000,
+    k: int = 100,
+) -> DataFrame:
+    """Link-prediction candidate scores over the undirected KG skeleton:
+    for node pairs u < v that are NOT already connected, the
+    common-neighbor count and Adamic-Adar score
+    `aa = sum over z in N(u) & N(v) of 1/ln(deg(z))` — the classic KGC
+    missing-link baseline (not in the reference, which predicts links via
+    TransE ranks in evaluate.py; this is the structural twin a production
+    pipeline runs first because it needs no training).
+
+    Shape at scale: one self-join of the (node, neighbor) edge list on
+    the shared neighbor z — shuffles on z, so a hub z with degree d
+    contributes d^2 join rows. ``max_degree`` is the skew guard (same
+    pattern as the jaccard max_df guard, dedup.py): hub intermediates are
+    dropped BEFORE the join, bounding any z's contribution to
+    max_degree^2; the score loss is bounded by 1/ln(max_degree) per
+    dropped hub, the smallest-weight evidence there is. Top-k output
+    (TakeOrderedAndProject, no global sort materialization) keeps the
+    result dim-sized; ordering is deterministic (aa desc, cn desc, u, v).
+    """
+    und = (
+        id_triples.filter(F.col("h") != F.col("t"))
+        .select(F.col("h").alias("node"), F.col("t").alias("nbr"))
+        .unionByName(
+            id_triples.filter(F.col("h") != F.col("t")).select(
+                F.col("t").alias("node"), F.col("h").alias("nbr")
+            )
+        )
+        .distinct()
+    )
+    deg = und.groupBy(F.col("nbr").alias("z")).agg(F.count("*").alias("deg"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_degree)
+    # (z, node) pairs restricted to surviving intermediates
+    ez = und.select(F.col("nbr").alias("z"), "node").join(deg, "z")
+    left = ez.select("z", F.col("node").alias("u"), "deg")
+    right = ez.select("z", F.col("node").alias("v"))
+    pairs = (
+        left.join(right, "z")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("cn"),
+            F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa"),
+        )
+    )
+    # keep only non-edges: the point is predicting MISSING links
+    existing = und.select(
+        F.least("node", "nbr").alias("u"), F.greatest("node", "nbr").alias("v")
+    ).distinct()
+    return (
+        pairs.join(existing, ["u", "v"], "left_anti")
+        .orderBy(F.col("aa").desc(), F.col("cn").desc(), "u", "v")
+        .limit(k)
+    )

@@ -258,3 +258,40 @@ def kg_pagerank_fixed_sql(depth: int = 4, k: int = 20) -> str:
         f"{_bfs_reach(depth)},\n" + ",\n".join(parts) + "\n"
         f"SELECT core, node, ROUND(pr, 6) AS pr FROM pr{k}"
     )
+
+
+def kg_common_neighbors_sql(max_degree: int = 1000, k: int = 100) -> str:
+    """Twin of graph.common_neighbor_scores: common-neighbor count +
+    Adamic-Adar over the undirected distinct skeleton, hub intermediates
+    dropped at max_degree, existing edges anti-joined out, top-k with the
+    same deterministic ordering."""
+    return f"""
+WITH {KG_BASE},
+und AS MATERIALIZED (
+  SELECT h AS node, t AS nbr FROM idt WHERE h <> t
+  UNION
+  SELECT t AS node, h AS nbr FROM idt WHERE h <> t
+),
+deg AS (
+  SELECT nbr AS z, COUNT(*) AS deg FROM und GROUP BY nbr
+  HAVING COUNT(*) <= {max_degree}
+),
+ez AS MATERIALIZED (
+  SELECT u.nbr AS z, u.node, d.deg FROM und u JOIN deg d ON u.nbr = d.z
+),
+pairs AS (
+  SELECT l.node AS u, r.node AS v,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         ROUND(SUM(1.0 / ln(l.deg)), 6) AS aa
+  FROM ez l JOIN ez r ON l.z = r.z AND l.node < r.node
+  GROUP BY l.node, r.node
+),
+existing AS (
+  SELECT DISTINCT LEAST(node, nbr) AS u, GREATEST(node, nbr) AS v FROM und
+)
+SELECT p.u, p.v, p.cn, p.aa
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.u = p.u AND e.v = p.v)
+ORDER BY p.aa DESC, p.cn DESC, p.u, p.v
+LIMIT {k}
+"""

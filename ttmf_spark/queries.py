@@ -203,6 +203,14 @@ def _id_triples(spark, sf_dir):
     return encode.encode_triples(truth, e_dim, r_dim), e_dim
 
 
+def q_kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural missing-link candidates: top-100 non-edges by
+    Adamic-Adar over the undirected KG skeleton (graph.py
+    common_neighbor_scores; hub guard at max_degree=1000)."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.common_neighbor_scores(idt, max_degree=1000, k=100)
+
+
 def q_kg_kgc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """process_triples.py:35-63 candidate files (tail variant, md5 oracle)."""
     ids, e_dim = _id_triples(spark, sf_dir)
