@@ -41,6 +41,21 @@ class StageStore:
         with open(os.path.join(self.root, "_metrics.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
 
+    def log_timing(self, stage: str, seconds: float) -> None:
+        """Record a driver-side (non-DataFrame) stage — e.g. the numpy
+        embedding/fusion fits — in the same metrics log the DataFrame
+        stages use, so the per-stage breakdown accounts for the full
+        pipeline wall time."""
+        self._log(
+            {
+                "stage": stage,
+                "rows": None,
+                "seconds": round(seconds, 3),
+                "partitions": None,
+                "ts": time.time(),
+            }
+        )
+
     def materialize(
         self,
         spark: SparkSession,

@@ -13,6 +13,7 @@ op or an Arrow-batched pandas UDF.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -108,14 +109,20 @@ def build_context(
     )
 
     # embeddings: size-routed seeded trainer (SURVEY.md M4)
+    t0 = time.perf_counter()
     ent_emb, rel_emb = transe.fit_embeddings_from_df(
         id_triples, n_ent, n_rel, seed=seed, **(transe_kw or {})
     )
+    if store is not None:
+        store.log_timing("transe_fit", time.perf_counter() - t0)
     energy_udf = transe.transe_energy_col(spark, ent_emb, rel_emb)
     if ptranse_kw is not None:
+        t0 = time.perf_counter()
         p_ent, p_rel = transe.fit_embeddings_from_df(
             id_triples, n_ent, n_rel, seed=seed, kernel="ptranse", **ptranse_kw
         )
+        if store is not None:
+            store.log_timing("ptranse_fit", time.perf_counter() - t0)
     else:
         p_ent, p_rel = ent_emb, rel_emb
 
@@ -260,7 +267,10 @@ def score_triples(
         spark, triples, depth=depth, seed=seed, store=store,
         transe_kw=transe_kw, ptranse_kw=ptranse_kw,
     )
+    t0 = time.perf_counter()
     model = fit_fusion(ctx, model, kind=kind, seed=seed)
+    if store is not None:
+        store.log_timing("fusion_fit", time.perf_counter() - t0)
     scored = score_ids(spark, ctx, model, ctx.id_triples)
     names = scored.join(
         F.broadcast(ctx.ent_dim.select(F.col("id").alias("h"), F.col("name").alias("s"))),
