@@ -98,3 +98,27 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert n_got > 0
     assert got.exceptAll(batch).count() == 0  # exact rows incl. seq + sums
     assert n_got >= int(n_batch * 0.5)  # only watermark-trailing stay open
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    from ttmf_spark.datapipe import dedup
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    in_dir = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(in_dir)
+
+    q = streaming.dedup_stream(spark, in_dir, query_name="dedup_stream_t")
+    q.awaitTermination(300)
+    got = spark.sql("SELECT doc_id, fingerprint FROM dedup_stream_t")
+
+    batch = dedup.exact_dedup(docs)
+    # same fingerprint set, one survivor each...
+    assert sorted(r["fingerprint"] for r in got.collect()) == sorted(
+        r["fingerprint"] for r in batch.collect()
+    )
+    assert got.count() == got.select("fingerprint").distinct().count()
+    # ...and each kept doc really belongs to its fingerprint's dup group
+    from ttmf_spark.datapipe.textstats import with_fingerprint
+
+    fp_all = with_fingerprint(docs).select("doc_id", "fingerprint")
+    assert got.join(fp_all, ["doc_id", "fingerprint"]).count() == got.count()

@@ -281,3 +281,45 @@ def sessionize_stream(
         .start()
     )
     return q
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "doc_dedup_stream",
+):
+    """Streaming twin of ``datapipe.dedup.exact_dedup``'s decision: emit
+    each document whose normalized-content fingerprint has not been seen
+    anywhere earlier in the stream (file source -> ``dropDuplicates`` on
+    the fingerprint -> append-mode memory sink).
+
+    Semantics vs the batch op: the batch survivor set is one doc per
+    distinct fingerprint (min doc_id); the stream keeps the FIRST
+    arrival per fingerprint — same fingerprint set, arrival-order
+    representative (tests compare the fingerprint sets and dup-group
+    membership, not the representative ids).
+
+    Scale shape: state is one entry per DISTINCT fingerprint (16-byte
+    digest + small row), hash-partitioned across executors by the dedup
+    key — the streaming analogue of the batch groupBy shuffle. For a
+    corpus where duplicates are temporally local, swap to
+    ``dropDuplicatesWithinWatermark`` to bound state by the horizon;
+    global exact dedup inherently carries all-history state.
+    """
+    from ttmf_spark.datapipe.textstats import with_fingerprint
+
+    sdf = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).parquet(input_dir)
+    kept = (
+        with_fingerprint(sdf)
+        .select("doc_id", "fingerprint")
+        .dropDuplicates(["fingerprint"])
+    )
+    return (
+        kept.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
