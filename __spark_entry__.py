@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scoring / evaluation layer (SURVEY.md §2.8-2.9)
         "kg_kgc_candidates": Q.q_kg_kgc_candidates,
         "kg_common_neighbors": Q.q_kg_common_neighbors,
+        "kg_relation_profile": Q.q_kg_relation_profile,
         "kg_link_prediction": Q.q_kg_link_prediction,
         "kg_rank_metrics": Q.q_kg_rank_metrics,
         "kg_accuracy": Q.q_kg_accuracy,
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_tc_pairs": oracles_eval.kg_tc_pairs_sql(),
         "kg_kgc_candidates": oracles_eval.kg_kgc_candidates_sql(),
         "kg_common_neighbors": oracles_kg.kg_common_neighbors_sql(),
+        "kg_relation_profile": oracles_kg.kg_relation_profile_sql(),
         "kg_link_prediction": oracles_eval.kg_link_prediction_sql(),
         "kg_rank_metrics": oracles_eval.kg_rank_metrics_sql(),
         "kg_accuracy": oracles_eval.kg_accuracy_sql(),

@@ -208,3 +208,42 @@ def common_neighbor_scores(
         .orderBy(F.col("aa").desc(), F.col("cn").desc(), "u", "v")
         .limit(k)
     )
+
+
+def relation_profile(id_triples: DataFrame) -> DataFrame:
+    """Per-relation cardinality profile: triple count, distinct
+    head/tail counts, avg tails-per-head (tph) and heads-per-tail (hpt),
+    and the Bordes-et-al category (1-1 / 1-N / N-1 / N-N at the 1.5
+    threshold) standard TransE evaluations bucket by. The KG QA query a
+    pipeline runs before training: pathological relations (huge N-N fan)
+    surface here first.
+
+    Two partial aggregations on (r, h) / (r, t) then a dim-sized join —
+    everything map-side combinable; output is |relations| rows.
+    """
+    tph = (
+        id_triples.groupBy("r", "h")
+        .agg(F.count("*").alias("_n"))
+        .groupBy("r")
+        .agg(
+            F.round(F.avg("_n"), 6).alias("tph"),
+            F.count("*").alias("n_heads"),
+            F.sum("_n").alias("n_triples"),
+        )
+    )
+    hpt = (
+        id_triples.groupBy("r", "t")
+        .agg(F.count("*").alias("_n"))
+        .groupBy("r")
+        .agg(F.round(F.avg("_n"), 6).alias("hpt"), F.count("*").alias("n_tails"))
+    )
+    prof = tph.join(hpt, "r")
+    cat = (
+        F.when((F.col("tph") < 1.5) & (F.col("hpt") < 1.5), F.lit("1-1"))
+        .when((F.col("tph") >= 1.5) & (F.col("hpt") < 1.5), F.lit("1-N"))
+        .when((F.col("tph") < 1.5) & (F.col("hpt") >= 1.5), F.lit("N-1"))
+        .otherwise(F.lit("N-N"))
+    )
+    return prof.select(
+        "r", "n_triples", "n_heads", "n_tails", "tph", "hpt", cat.alias("category")
+    )

@@ -295,3 +295,26 @@ WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.u = p.u AND e.v = p.v)
 ORDER BY p.aa DESC, p.cn DESC, p.u, p.v
 LIMIT {k}
 """
+
+
+def kg_relation_profile_sql() -> str:
+    """Twin of graph.relation_profile (Bordes 1.5-threshold categories)."""
+    return f"""
+WITH {KG_BASE},
+tph AS (
+  SELECT r, ROUND(AVG(_n), 6) AS tph,
+         CAST(COUNT(*) AS BIGINT) AS n_heads,
+         CAST(SUM(_n) AS BIGINT) AS n_triples
+  FROM (SELECT r, h, COUNT(*) AS _n FROM idt GROUP BY r, h) GROUP BY r
+),
+hpt AS (
+  SELECT r, ROUND(AVG(_n), 6) AS hpt, CAST(COUNT(*) AS BIGINT) AS n_tails
+  FROM (SELECT r, t, COUNT(*) AS _n FROM idt GROUP BY r, t) GROUP BY r
+)
+SELECT tph.r, n_triples, n_heads, n_tails, tph, hpt,
+       CASE WHEN tph < 1.5 AND hpt < 1.5 THEN '1-1'
+            WHEN tph >= 1.5 AND hpt < 1.5 THEN '1-N'
+            WHEN tph < 1.5 AND hpt >= 1.5 THEN 'N-1'
+            ELSE 'N-N' END AS category
+FROM tph JOIN hpt ON tph.r = hpt.r
+"""

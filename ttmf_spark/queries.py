@@ -211,6 +211,13 @@ def q_kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.common_neighbor_scores(idt, max_degree=1000, k=100)
 
 
+def q_kg_relation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation cardinality profile + Bordes 1-1/1-N/N-1/N-N
+    category (graph.relation_profile) — pre-training KG QA."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.relation_profile(idt)
+
+
 def q_kg_kgc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """process_triples.py:35-63 candidate files (tail variant, md5 oracle)."""
     ids, e_dim = _id_triples(spark, sf_dir)
