@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": Q.q_doc_fingerprint,
         "doc_top_ngrams": Q.q_doc_top_ngrams,
         "doc_repetition": Q.q_doc_repetition,
+        "doc_curation": Q.q_doc_curation,
         "doc_source_stats": Q.q_doc_source_stats,
         "doc_langid_eval": Q.q_doc_langid_eval,
         "doc_exact_dedup": Q.q_doc_exact_dedup,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles_docs.doc_fingerprint_sql(),
         "doc_top_ngrams": oracles_docs.doc_top_ngrams_sql(),
         "doc_repetition": oracles_docs.doc_repetition_sql(),
+        "doc_curation": oracles_docs.doc_curation_sql(),
         "doc_source_stats": oracles_docs.doc_source_stats_sql(),
         "doc_langid_eval": oracles_docs.doc_langid_eval_sql(),
         "doc_exact_dedup": oracles_docs.doc_exact_dedup_sql(),

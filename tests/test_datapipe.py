@@ -223,3 +223,29 @@ def test_near_dup_clusters_chain(spark):
     assert reps == {10}, got                      # one cluster, min id wins
     assert [got[i][1] for i in (10, 11, 12)] == [1, 0, 0]
     assert out.count() == 4
+
+
+def test_curation_verdict_reason_precedence(spark):
+    from ttmf_spark.datapipe.curation import curation_verdict
+
+    rep = "spam ham " * 40  # boilerplate: one repeated 2/3-gram
+    good = " ".join(
+        f"the w{i} of a v{i} and" for i in range(40)
+    )  # long, stopword-rich, no repeated 3-gram ("and the" 2-grams repeat but <50%)
+    rows = [
+        (1, good, "en", "s", len(good)),       # ok
+        (2, good, "en", "s", len(good)),       # duplicate of 1 (higher id loses)
+        (3, "zz", "en", "s", 2),               # low_quality (tiny, no stopwords)
+        (4, rep, "en", "s", len(rep)),         # boilerplate but ALSO low quality?
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = {r["doc_id"]: (r["reason"], r["keep"]) for r in curation_verdict(docs).collect()}
+    assert got[1] == ("ok", True)
+    assert got[2] == ("duplicate", False)
+    assert got[3] == ("low_quality", False)
+    # precedence: whatever the quality of 4, duplicate/low_quality outrank
+    # boilerplate only if triggered; assert it is dropped as boilerplate
+    # when its quality clears the bar
+    assert got[4][1] is False and got[4][0] in ("boilerplate", "low_quality")

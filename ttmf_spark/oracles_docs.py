@@ -482,3 +482,25 @@ FROM documents d
 LEFT JOIN a2 ON d.doc_id = a2.doc_id
 LEFT JOIN a3 ON d.doc_id = a3.doc_id
 """
+
+
+def doc_curation_sql(q_min: float = 0.3, rep_max: float = 0.5) -> str:
+    """Twin of curation.curation_verdict: composed from the quality,
+    repetition, and exact-dedup twins (same rounding, same precedence)."""
+    return f"""
+WITH q AS MATERIALIZED ({doc_quality_sql().strip()}),
+r AS MATERIALIZED ({doc_repetition_sql().strip()}),
+surv AS ({doc_exact_dedup_sql().strip()}),
+v AS (
+  SELECT d.doc_id, q.quality, r.dup_3gram_frac,
+         CASE WHEN s.doc_id IS NULL THEN 'duplicate'
+              WHEN q.quality < {{q_min}} THEN 'low_quality'
+              WHEN r.dup_3gram_frac > {{rep_max}} THEN 'boilerplate'
+              ELSE 'ok' END AS reason
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN r ON d.doc_id = r.doc_id
+  LEFT JOIN surv s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, quality, dup_3gram_frac, reason, reason = 'ok' AS keep FROM v
+""".format(q_min=q_min, rep_max=rep_max)

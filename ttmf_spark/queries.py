@@ -445,6 +445,14 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_repetition_stats(_docs(spark, sf_dir))
 
 
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop curation gate (duplicate > low_quality >
+    boilerplate > ok) — datapipe/curation.py."""
+    from ttmf_spark.datapipe.curation import curation_verdict
+
+    return curation_verdict(_docs(spark, sf_dir))
+
+
 def q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation stats (count, mean quality, exact p50/p90
     token counts) — the 'which sources produce junk' pipeline query."""
