@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation": Q.q_doc_curation,
         "doc_source_stats": Q.q_doc_source_stats,
         "doc_langid_eval": Q.q_doc_langid_eval,
+        "doc_contamination": Q.q_doc_contamination,
+        "doc_pii_redact": Q.q_doc_pii_redact,
+        "doc_mixture_sample": Q.q_doc_mixture_sample,
         "doc_exact_dedup": Q.q_doc_exact_dedup,
         "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
         "doc_minhash_pairs": Q.q_doc_minhash_pairs,
@@ -117,6 +120,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_ngrams": oracles_docs.doc_top_ngrams_sql(),
         "doc_repetition": oracles_docs.doc_repetition_sql(),
         "doc_curation": oracles_docs.doc_curation_sql(),
+        "doc_contamination": oracles_docs.doc_contamination_sql(),
+        "doc_pii_redact": oracles_docs.doc_pii_redact_sql(),
+        "doc_mixture_sample": oracles_docs.doc_mixture_sample_sql(Q.MIXTURE_WEIGHTS),
         "doc_source_stats": oracles_docs.doc_source_stats_sql(),
         "doc_langid_eval": oracles_docs.doc_langid_eval_sql(),
         "doc_exact_dedup": oracles_docs.doc_exact_dedup_sql(),

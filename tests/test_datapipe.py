@@ -249,3 +249,100 @@ def test_curation_verdict_reason_precedence(spark):
     # boilerplate only if triggered; assert it is dropped as boilerplate
     # when its quality clears the bar
     assert got[4][1] is False and got[4][0] in ("boilerplate", "low_quality")
+
+
+# --- decontamination / PII / mixture sampling -------------------------------
+
+
+def test_contamination_scores_hand_oracle(spark):
+    from ttmf_spark.datapipe import decontam
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),       # shares 'the quick brown'
+            (2, "totally novel words only here"),   # zero overlap
+            (3, "the quick brown fox jumps over"),  # superset of eval doc
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontam.contamination_scores(train, ev, n=3, tau=0.5).collect()
+    }
+    # train doc 1 == eval doc: all 3 shingles hit
+    assert out[1]["n_shingles"] == 3 and out[1]["n_hit"] == 3
+    assert out[1]["contamination"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+    # doc 3 has 4 shingles, 3 of which are eval shingles
+    assert out[3]["n_shingles"] == 4 and out[3]["n_hit"] == 3
+    assert out[3]["contamination"] == 0.75 and out[3]["contaminated"]
+
+
+def test_contamination_short_doc_degenerate_shingle(spark):
+    from ttmf_spark.datapipe import decontam
+
+    train = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(2, "a b")], ["doc_id", "text"])
+    row = decontam.contamination_scores(train, ev, n=3).collect()[0]
+    assert row["n_shingles"] == 1 and row["n_hit"] == 1 and row["contaminated"]
+
+
+def test_redact_pii_counts_and_fingerprint(spark):
+    import hashlib
+
+    from ttmf_spark.datapipe import pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "host 192.168.0.1 and 10.0.0.2 up"),
+            (3, "call +14155551234 today"),
+            (4, "clean text no pii at all"),
+            # the dotted-digit run inside the email host must be counted
+            # as part of the email, not as an extra IP
+            (5, "edge a@1.2.3.4.example.com end"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii.redact_pii(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 2, 0)
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 1)
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (0, 0, 0)
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (1, 0, 0)
+    expect = {
+        1: "mail <EMAIL> now",
+        2: "host <IP> and <IP> up",
+        3: "call <PHONE> today",
+        4: "clean text no pii at all",
+        5: "edge <EMAIL> end",
+    }
+    for i, txt in expect.items():
+        assert out[i]["redacted_fp"] == hashlib.md5(txt.encode()).hexdigest()
+
+
+def test_mixture_sample_deterministic_and_unbiased(spark):
+    from ttmf_spark.datapipe.curation import mixture_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    weights = {"s0": 0.25, "s1": 0.5}  # s2 absent -> dropped entirely
+    out = mixture_sample(docs, weights, seed=7).toPandas()
+    assert set(out["source"]) <= {"s0", "s1"}
+    # partitioning-invariant: identical keep set at any parallelism
+    out2 = mixture_sample(docs.repartition(13), weights, seed=7).toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # empirical rate within 4 sigma of the Bernoulli expectation
+    for s, p in weights.items():
+        n = 1000
+        got = (out["source"] == s).sum()
+        assert abs(got - n * p) < 4 * (n * p * (1 - p)) ** 0.5
+    # importance weight restores the unbiased count estimate
+    est = out["sample_weight"].sum()
+    assert abs(est - 2000) < 350
+    # md5 mode (the oracle path) is deterministic too and close to p
+    out3 = mixture_sample(docs, weights, seed=7, hash_fn="md5").toPandas()
+    assert abs(len(out3) - (1000 * 0.25 + 1000 * 0.5)) < 120

@@ -53,3 +53,53 @@ def curation_verdict(
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture (re)sampling: keep each document with
+    its source's target probability, plus the 1/p importance weight.
+
+    The training-mix step of a data pipeline ("web at 12%, code at 50%,
+    …"): a per-source Bernoulli keep decided by a salted hash of the
+    doc id — reproducible across runs, engines, and partitionings (no
+    ``rand()``; the md5 variant is bit-identical in DuckDB). Returns
+    the kept rows as (doc_id, source, p_keep, sample_weight) where
+    sample_weight = 1/p_keep restores unbiased expectations downstream.
+
+    ``weights`` SHOULD be multiples of 1/1024 — p*2^60 is then exact in
+    a double, so the integer threshold compare carries no
+    engine-dependent rounding. Sources absent from ``weights`` are
+    dropped (p = 0).
+
+    Scale: the weights table is dim-sized (one row per source/domain) ->
+    broadcast inner join; the keep decision is a pure column predicate on
+    the scan. Zero shuffles end to end, any corpus size.
+    """
+    from ttmf_spark.datapipe.dedup import hash64
+
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(s, float(p)) for s, p in sorted(weights.items())],
+        f"{source_col} string, p_keep double",
+    )
+    u = hash64(F.col(id_col).cast("string"), seed=seed, fn=hash_fn)
+    # hash64 md5-mode yields a uniform 60-bit non-negative int; xxhash64
+    # yields signed 64-bit, folded to 60 bits the same way on both paths
+    u60 = F.pmod(u, F.lit(1 << 60))
+    return (
+        docs.join(F.broadcast(dim), source_col)
+        .filter(u60 < (F.col("p_keep") * F.lit(float(1 << 60))).cast("long"))
+        .select(
+            id_col,
+            source_col,
+            "p_keep",
+            F.round(F.lit(1.0) / F.col("p_keep"), 6).alias("sample_weight"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Benchmark decontamination: flag training documents whose word-n-gram
+overlap with a held-out evaluation/benchmark set exceeds a threshold.
+
+This is the standard pre-training hygiene pass (the "13-gram overlap"
+check of GPT-3 appendix C / the Dolma decontamination stage, shrunk to
+n=3 here because the synthetic fixture corpus draws from a ~30-word
+vocabulary): any training document that shares too many distinct
+n-grams with any benchmark document is quarantined before training.
+
+Scale shape (100 TB corpus, dim-sized benchmark):
+
+- the benchmark side is ALWAYS small (benchmarks are thousands of docs,
+  not billions) -> its distinct-shingle set is a broadcast dim table;
+- the training side explodes to (doc_id, shingle) rows and probes that
+  broadcast in a single left join — the token-level rows NEVER shuffle;
+- the per-doc rollup groups by doc_id, and a document's shingle rows are
+  co-located within their scan partition (explode preserves locality),
+  so map-side partial aggregation collapses to ~1 row per doc before
+  the only exchange in the plan.
+
+No UDFs anywhere — shingling is the same built-in array-expression
+pipeline as datapipe.dedup.shingles, so the whole op stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ttmf_spark.datapipe.dedup import shingles
+
+
+def contamination_scores(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_hit, contamination, contaminated) per
+    training document.
+
+    ``n_shingles``: distinct word n-grams of the training doc;
+    ``n_hit``: how many of those also occur in ANY benchmark doc;
+    ``contamination`` = n_hit / n_shingles (rounded to 6 dp so the
+    DuckDB twin agrees bit-for-bit); ``contaminated`` = contamination
+    >= tau (compared on the rounded value for the same reason).
+
+    Documents shorter than ``n`` tokens contribute their full token
+    string as a single degenerate shingle (dedup.shingles semantics),
+    so every training doc emits exactly one output row.
+    """
+    train_sh = shingles(train_docs, text_col, id_col, n)
+    eval_sh = (
+        shingles(eval_docs, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = train_sh.join(F.broadcast(eval_sh), "shingle", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_hit"),
+    )
+    contamination = F.round(F.col("n_hit") / F.col("n_shingles"), 6)
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_hit",
+        contamination.alias("contamination"),
+        (contamination >= tau).alias("contaminated"),
+    )
+
+
+def split_train_eval(
+    docs: DataFrame, modulus: int = 17, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic stand-in benchmark split: doc_id % modulus == 0 is
+    the "benchmark" slice, the rest is the training corpus.
+
+    In production the benchmark set is an external table (MMLU/GSM8K/…
+    prompts); the modulus split exists so the driver query and its SQL
+    twin can both reconstruct the same two sides from one input table.
+    """
+    is_eval = (F.col(id_col) % modulus) == 0
+    return docs.filter(~is_eval), docs.filter(is_eval)

@@ -504,3 +504,72 @@ v AS (
 )
 SELECT doc_id, quality, dup_3gram_frac, reason, reason = 'ok' AS keep FROM v
 """.format(q_min=q_min, rep_max=rep_max)
+
+
+def doc_contamination_sql(n: int = 3, tau: float = 0.5, modulus: int = 17) -> str:
+    """Twin of decontam.contamination_scores over the modulus eval split:
+    same shingle pipeline as the jaccard twin, left-join count semantics."""
+    return f"""
+WITH {_SHINGLES.format(n=n).strip()},
+eval_sh AS (SELECT DISTINCT shingle FROM sh2 WHERE doc_id % {modulus} = 0),
+train AS (SELECT doc_id, shingle FROM sh2 WHERE doc_id % {modulus} <> 0),
+agg AS (
+  SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(e.shingle) AS n_hit
+  FROM train t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contamination,
+       ROUND(CAST(n_hit AS DOUBLE) / n_shingles, 6) >= {tau} AS contaminated
+FROM agg
+"""
+
+
+def doc_pii_redact_sql(modulus: int = 7) -> str:
+    """Twin of pii.redact_pii over pii.with_synthetic_pii: the patterns
+    are written in the Java/RE2-portable subset (pii.py module doc)."""
+    from ttmf_spark.datapipe.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {modulus} = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.1 tel +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM aug
+),
+r2 AS (
+  SELECT doc_id, text, no_email,
+         regexp_replace(no_email, '{IPV4_RE}', '<IP>', 'g') AS no_ip
+  FROM r1
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(no_email, '{IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(no_ip, '{PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(no_ip, '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM r2
+"""
+
+
+def doc_mixture_sample_sql(weights: dict[str, float], seed: int = 0) -> str:
+    """Twin of curation.mixture_sample(hash_fn='md5'): the md5-60bit
+    uniform draw is bit-identical on both engines; weights must be
+    multiples of 1/1024 so p*2^60 is exact in a double (curation.py)."""
+    rows = ", ".join(f"('{s}', {float(p)!r})" for s, p in sorted(weights.items()))
+    u = _md5h(f"'{seed}' || CAST(doc_id AS VARCHAR)")
+    two60 = 1 << 60
+    return f"""
+WITH w AS (SELECT * FROM (VALUES {rows}) AS t(source, p_keep))
+SELECT d.doc_id, d.source, CAST(w.p_keep AS DOUBLE) AS p_keep,
+       ROUND(CAST(1.0 AS DOUBLE) / CAST(w.p_keep AS DOUBLE), 6) AS sample_weight
+FROM documents d JOIN w ON d.source = w.source
+WHERE ({u} % {two60}) < CAST(CAST(w.p_keep AS DOUBLE) * {float(two60)!r} AS BIGINT)
+"""

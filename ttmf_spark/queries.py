@@ -472,6 +472,39 @@ def q_doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram overlap of every training doc
+    against the deterministic doc_id%17 'benchmark' slice (the GPT-3
+    appendix-C hygiene pass, n shrunk to the fixture vocab)."""
+    from ttmf_spark.datapipe import decontam
+
+    train, ev = decontam.split_train_eval(_docs(spark, sf_dir), modulus=17)
+    return decontam.contamination_scores(train, ev, n=3, tau=0.5)
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (email/IPv4/phone, Java+RE2-portable regexes).
+    The fixture corpus has no organic PII, so deterministic PII is
+    planted on every 7th doc first (pii.with_synthetic_pii) — the gate
+    exercises real matches, replacements, and pass-throughs."""
+    from ttmf_spark.datapipe import pii
+
+    return pii.redact_pii(pii.with_synthetic_pii(_docs(spark, sf_dir)))
+
+
+# target mixture: p(srcN) = (1 + N%8)/16 — multiples of 1/16 so p*2^60
+# is exact in a double (see curation.mixture_sample's threshold compare)
+MIXTURE_WEIGHTS = {f"src{i}": (1 + i % 8) / 16.0 for i in range(20)}
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling with importance weights —
+    md5-mode hash draw for bit-parity with the DuckDB twin."""
+    from ttmf_spark.datapipe.curation import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), MIXTURE_WEIGHTS, seed=0, hash_fn="md5")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_fingerprint(_docs(spark, sf_dir)).select(
         "doc_id", "fingerprint"
