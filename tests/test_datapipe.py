@@ -346,3 +346,34 @@ def test_mixture_sample_deterministic_and_unbiased(spark):
     # md5 mode (the oracle path) is deterministic too and close to p
     out3 = mixture_sample(docs, weights, seed=7, hash_fn="md5").toPandas()
     assert abs(len(out3) - (1000 * 0.25 + 1000 * 0.5)) < 120
+
+
+def test_pack_sequences_window_math(spark):
+    from ttmf_spark.datapipe.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i * 3 + 1)) for i in range(40)] + [(99, "")],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, budget=16, n_buckets=2, seed=3).toPandas()
+    assert len(out) == 41
+    for b, grp in out.groupby("bucket"):
+        g = grp.sort_values("start_off").reset_index(drop=True)
+        # offsets are the exact running sum of the stream
+        run = 0
+        for _, r in g.iterrows():
+            assert r["start_off"] == run
+            run += r["n_tokens"]
+            first, last = r["pack_first"], r["pack_last"]
+            assert first == r["start_off"] // 16
+            span = max(r["n_tokens"], 1)
+            assert last == (r["start_off"] + span - 1) // 16
+            assert last >= first
+    # zero-token doc occupies exactly one window
+    z = out[out.doc_id == 99].iloc[0]
+    assert z["n_tokens"] == 0 and z["pack_first"] == z["pack_last"]
+    # partitioning-invariant plan
+    out2 = pack_sequences(docs.repartition(7), budget=16, n_buckets=2, seed=3).toPandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True)
+    )

@@ -573,3 +573,27 @@ SELECT d.doc_id, d.source, CAST(w.p_keep AS DOUBLE) AS p_keep,
 FROM documents d JOIN w ON d.source = w.source
 WHERE ({u} % {two60}) < CAST(CAST(w.p_keep AS DOUBLE) * {float(two60)!r} AS BIGINT)
 """
+
+
+def doc_pack_plan_sql(budget: int = 256, n_buckets: int = 8, seed: int = 0) -> str:
+    """Twin of packing.pack_sequences(hash_fn='md5'): same salted draw,
+    same (hash, id) stream order, same concat-and-chunk window math."""
+    u = _md5h(f"'{seed}' || CAST(doc_id AS VARCHAR)")
+    two60 = 1 << 60
+    return f"""
+WITH base AS (
+  SELECT doc_id, ({u} % {two60}) AS u, len({_TOKS}) AS n_tokens
+  FROM documents
+),
+b AS (SELECT *, CAST(u % {n_buckets} AS INT) AS bucket FROM base),
+s AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY u, doc_id)
+                       - n_tokens, 0) AS BIGINT) AS start_off
+  FROM b
+)
+SELECT doc_id, bucket, start_off, n_tokens,
+       CAST(floor(CAST(start_off AS DOUBLE) / {budget}) AS BIGINT) AS pack_first,
+       CAST(floor(CAST(start_off + greatest(n_tokens, 1) - 1 AS DOUBLE) / {budget}) AS BIGINT) AS pack_last
+FROM s
+"""

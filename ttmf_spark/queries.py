@@ -505,6 +505,16 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(_docs(spark, sf_dir), MIXTURE_WEIGHTS, seed=0, hash_fn="md5")
 
 
+def q_doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan (256-token windows, 8
+    deterministic packing streams) — datapipe/packing.py."""
+    from ttmf_spark.datapipe.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=256, n_buckets=8, seed=0, hash_fn="md5"
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_fingerprint(_docs(spark, sf_dir)).select(
         "doc_id", "fingerprint"
