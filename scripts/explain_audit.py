@@ -178,6 +178,53 @@ def main() -> None:
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     )
 
+    # decontamination: eval shingle dim must broadcast; the corpus-side
+    # shingle rows must never hit a shuffle except the per-doc rollup
+    audit(
+        "doc_contamination",
+        Q.q_doc_contamination(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # PII redaction: pure regexp projection — rides the scan, NO exchange
+    # of any kind, no Python
+    audit(
+        "doc_pii_redact",
+        Q.q_doc_pii_redact(spark, sf_dir),
+        out,
+        forbid=["Exchange", "CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+
+    # mixture sampling: weights dim broadcasts; the only exchange allowed
+    # is that broadcast (no shuffle — the keep decision rides the scan)
+    audit(
+        "doc_mixture_sample",
+        Q.q_doc_mixture_sample(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["Arguments: hashpartitioning", "Arguments: SinglePartition",
+                "CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+
+    # sequence packing: exactly one hash shuffle (the bucket streams) and
+    # NEVER a single-partition global window
+    pk = Q.q_doc_pack_plan(spark, sf_dir)
+    audit(
+        "doc_pack_plan",
+        pk,
+        out,
+        expect=["Arguments: hashpartitioning"],
+        forbid=["Arguments: SinglePartition", "CartesianProduct",
+                "MapInPandas", "BatchEvalPython"],
+    )
+    n_shuffle = plan_of(pk).count("Arguments: hashpartitioning")
+    print(f"[doc_pack_plan_single_shuffle] shuffles={n_shuffle}")
+    out.append(("doc_pack_plan_single_shuffle", "", {"shuffles": n_shuffle},
+                [] if n_shuffle == 1 else ["more than one shuffle"]))
+
     # fixed-iteration PageRank: grouped-Arrow kernel (FlatMapGroupsInPandas
     # is the design), dim joins broadcast, never a cartesian
     audit(
