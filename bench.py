@@ -262,6 +262,32 @@ def main() -> None:
         lambda: similarity.brute_force_topk(emb, qs, k=10).count()
     )
 
+    # q5: the curation composite (decontaminate + mixture-sample + pack) —
+    # one number for the "training-data prep" layer's per-doc cost
+    from ttmf_spark.datapipe import decontam, packing
+    from ttmf_spark.datapipe.curation import mixture_sample
+
+    def _curation_pass():
+        train, ev = decontam.split_train_eval(docs_tbl, modulus=17)
+        clean = (
+            decontam.contamination_scores(train, ev, n=3, tau=0.5)
+            .filter(~F.col("contaminated"))
+            .select("doc_id")
+        )
+        n_src = docs_tbl.select("source").distinct().count()
+        weights = {f"src{i}": (1 + i % 8) / 16.0 for i in range(n_src)}
+        mixed = mixture_sample(docs_tbl, weights).join(clean, "doc_id", "left_semi")
+        packed = packing.pack_sequences(
+            docs_tbl.join(mixed, "doc_id", "left_semi"), budget=256, n_buckets=64
+        )
+        return packed.count()
+
+    timings["curation_pipeline"], extras["docs_packed"] = _min2(_curation_pass)
+    n_docs_in = docs_tbl.count()
+    extras["curation_docs_per_sec"] = round(
+        n_docs_in / timings["curation_pipeline"], 3
+    )
+
     # scaling probe input: replicated docs (id-suffixed copies), written once
     _scaling_probe(spark, docs_path, timings, extras)
     _emit(timings, extras)
