@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid_eval": Q.q_doc_langid_eval,
         "doc_contamination": Q.q_doc_contamination,
         "doc_pack_plan": Q.q_doc_pack_plan,
+        "doc_stratified_sample": Q.q_doc_stratified_sample,
         "doc_pii_redact": Q.q_doc_pii_redact,
         "doc_mixture_sample": Q.q_doc_mixture_sample,
         "doc_exact_dedup": Q.q_doc_exact_dedup,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation": oracles_docs.doc_curation_sql(),
         "doc_contamination": oracles_docs.doc_contamination_sql(),
         "doc_pack_plan": oracles_docs.doc_pack_plan_sql(),
+        "doc_stratified_sample": oracles_docs.doc_stratified_sample_sql(),
         "doc_pii_redact": oracles_docs.doc_pii_redact_sql(),
         "doc_mixture_sample": oracles_docs.doc_mixture_sample_sql(Q.MIXTURE_WEIGHTS),
         "doc_source_stats": oracles_docs.doc_source_stats_sql(),

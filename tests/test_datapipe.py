@@ -377,3 +377,37 @@ def test_pack_sequences_window_math(spark):
     assert out.sort_values("doc_id").reset_index(drop=True).equals(
         out2.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_stratified_sample_exact_k_and_two_phase_equivalence(spark):
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window
+
+    from ttmf_spark.datapipe.curation import stratified_sample
+    from ttmf_spark.datapipe.dedup import hash64
+
+    rows = [(i, "big" if i < 900 else f"s{i % 5}") for i in range(1000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample(docs, k=7, seed=1, n_salts=8).toPandas()
+    sizes = out.groupby("source").size().to_dict()
+    assert sizes["big"] == 7
+    assert all(v <= 7 for v in sizes.values())
+    # two-phase output == the naive single-window rule
+    u = SF.pmod(hash64(SF.col("doc_id").cast("string"), seed=1), SF.lit(1 << 60))
+    w = Window.partitionBy("source").orderBy("_u", "doc_id")
+    naive = (
+        docs.withColumn("_u", u)
+        .withColumn("rank", SF.row_number().over(w))
+        .filter(SF.col("rank") <= 7)
+        .select("doc_id", "source", "rank")
+        .toPandas()
+    )
+    key = ["source", "rank", "doc_id"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        naive.sort_values(key).reset_index(drop=True)
+    )
+    # partitioning-invariant
+    out2 = stratified_sample(docs.repartition(11), k=7, seed=1, n_salts=8).toPandas()
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True)
+    )

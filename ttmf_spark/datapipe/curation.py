@@ -55,6 +55,54 @@ def curation_verdict(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    seed: int = 0,
+    n_salts: int = 64,
+    hash_fn: str = "xxhash64",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-source deterministic sample: the k documents with
+    the SMALLEST salted hash per source (all of them if the source has
+    fewer), with their 1-based rank.
+
+    The "minimum k hashes" rule makes the sample a pure function of the
+    ids — stable under reruns, partitioning, and incremental growth
+    (a new doc only enters the sample by evicting the current max, the
+    same property KMV sketches rely on).
+
+    Skew: a naive row_number() over (source) sorts the biggest source
+    in ONE task — the classic hot-domain killer when one crawl domain
+    is half the corpus. This runs two bounded phases instead: top-k
+    within (source, salt-bucket) — ``n_salts`` ways parallel even for a
+    single giant source — then top-k of the <= k*n_salts survivors per
+    source. Both windows sort only bounded partitions; output is
+    IDENTICAL to the naive rule (the global top-k is contained in the
+    union of per-bucket top-ks).
+    """
+    from pyspark.sql.window import Window
+
+    from ttmf_spark.datapipe.dedup import hash64
+
+    u = F.pmod(hash64(F.col(id_col).cast("string"), seed=seed, fn=hash_fn), F.lit(1 << 60))
+
+    d = docs.select(source_col, id_col).withColumn("_u", u).withColumn(
+        "_salt", F.pmod(F.col("_u"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(source_col, "_salt").orderBy("_u", id_col)
+    survivors = d.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy(source_col).orderBy("_u", id_col)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(id_col, source_col, "rank")
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     weights: dict[str, float],

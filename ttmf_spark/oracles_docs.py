@@ -597,3 +597,19 @@ SELECT doc_id, bucket, start_off, n_tokens,
        CAST(floor(CAST(start_off + greatest(n_tokens, 1) - 1 AS DOUBLE) / {budget}) AS BIGINT) AS pack_last
 FROM s
 """
+
+
+def doc_stratified_sample_sql(k: int = 10, seed: int = 0) -> str:
+    """Twin of curation.stratified_sample(hash_fn='md5'): the naive
+    one-window rule — the two-phase Spark plan provably emits the same
+    rows (global per-source top-k is contained in the per-bucket
+    top-ks' union)."""
+    u = _md5h(f"'{seed}' || CAST(doc_id AS VARCHAR)")
+    two60 = 1 << 60
+    return f"""
+WITH h AS (SELECT doc_id, source, ({u} % {two60}) AS u FROM documents)
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS INT) AS rank
+FROM h
+QUALIFY rank <= {k}
+"""

@@ -505,6 +505,14 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(_docs(spark, sf_dir), MIXTURE_WEIGHTS, seed=0, hash_fn="md5")
 
 
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-10-per-source deterministic sample (min-k salted hashes,
+    two-phase skew-safe top-k) — curation.stratified_sample."""
+    from ttmf_spark.datapipe.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), k=10, seed=0, hash_fn="md5")
+
+
 def q_doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence-packing plan (256-token windows, 8
     deterministic packing streams) — datapipe/packing.py."""
