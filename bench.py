@@ -267,6 +267,12 @@ def main() -> None:
     from ttmf_spark.datapipe import decontam, packing
     from ttmf_spark.datapipe.curation import mixture_sample
 
+    # weights from the ACTUAL source values (not a reconstructed naming
+    # scheme — a rename would silently measure an empty pipeline), and
+    # outside the timed closure (a constant of the input, not pipeline cost)
+    srcs = sorted(r[0] for r in docs_tbl.select("source").distinct().collect())
+    weights = {s: (1 + i % 8) / 16.0 for i, s in enumerate(srcs)}
+
     def _curation_pass():
         train, ev = decontam.split_train_eval(docs_tbl, modulus=17)
         clean = (
@@ -274,8 +280,6 @@ def main() -> None:
             .filter(~F.col("contaminated"))
             .select("doc_id")
         )
-        n_src = docs_tbl.select("source").distinct().count()
-        weights = {f"src{i}": (1 + i % 8) / 16.0 for i in range(n_src)}
         mixed = mixture_sample(docs_tbl, weights).join(clean, "doc_id", "left_semi")
         packed = packing.pack_sequences(
             docs_tbl.join(mixed, "doc_id", "left_semi"), budget=256, n_buckets=64

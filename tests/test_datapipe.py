@@ -358,7 +358,9 @@ def test_pack_sequences_window_math(spark):
     out = pack_sequences(docs, budget=16, n_buckets=2, seed=3).toPandas()
     assert len(out) == 41
     for b, grp in out.groupby("bucket"):
-        g = grp.sort_values("start_off").reset_index(drop=True)
+        # sort zero-token docs before any same-offset successor so the
+        # running-sum walk is deterministic regardless of pandas tie order
+        g = grp.sort_values(["start_off", "n_tokens"]).reset_index(drop=True)
         # offsets are the exact running sum of the stream
         run = 0
         for _, r in g.iterrows():
@@ -411,3 +413,18 @@ def test_stratified_sample_exact_k_and_two_phase_equivalence(spark):
     assert out.sort_values(key).reset_index(drop=True).equals(
         out2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_contamination_empty_doc_emits_clean_row(spark):
+    from ttmf_spark.datapipe import decontam
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, ""), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, "the quick brown fox jumps")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in decontam.contamination_scores(train, ev).collect()}
+    assert set(out) == {1, 2, 3}  # one row per training doc, always
+    for i in (2, 3):
+        assert out[i]["n_shingles"] == 0 and out[i]["n_hit"] == 0
+        assert out[i]["contamination"] == 0.0 and not out[i]["contaminated"]

@@ -84,9 +84,9 @@ def stratified_sample(
     """
     from pyspark.sql.window import Window
 
-    from ttmf_spark.datapipe.dedup import hash64
+    from ttmf_spark.datapipe.dedup import u60
 
-    u = F.pmod(hash64(F.col(id_col).cast("string"), seed=seed, fn=hash_fn), F.lit(1 << 60))
+    u = u60(F.col(id_col).cast("string"), seed=seed, fn=hash_fn)
 
     d = docs.select(source_col, id_col).withColumn("_u", u).withColumn(
         "_salt", F.pmod(F.col("_u"), F.lit(n_salts))
@@ -130,20 +130,20 @@ def mixture_sample(
     broadcast inner join; the keep decision is a pure column predicate on
     the scan. Zero shuffles end to end, any corpus size.
     """
-    from ttmf_spark.datapipe.dedup import hash64
+    from ttmf_spark.datapipe.dedup import u60
 
     spark = docs.sparkSession
     dim = spark.createDataFrame(
         [(s, float(p)) for s, p in sorted(weights.items())],
         f"{source_col} string, p_keep double",
     )
-    u = hash64(F.col(id_col).cast("string"), seed=seed, fn=hash_fn)
-    # hash64 md5-mode yields a uniform 60-bit non-negative int; xxhash64
-    # yields signed 64-bit, folded to 60 bits the same way on both paths
-    u60 = F.pmod(u, F.lit(1 << 60))
+    u = u60(F.col(id_col).cast("string"), seed=seed, fn=hash_fn)
+    # threshold = floor(p * 2^60) on BOTH engines (Spark cast truncates,
+    # the SQL twin floors explicitly) — exact for dyadic weights and
+    # parity-safe even for non-dyadic ones
     return (
         docs.join(F.broadcast(dim), source_col)
-        .filter(u60 < (F.col("p_keep") * F.lit(float(1 << 60))).cast("long"))
+        .filter(u < (F.col("p_keep") * F.lit(float(1 << 60))).cast("long"))
         .select(
             id_col,
             source_col,

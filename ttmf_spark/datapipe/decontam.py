@@ -49,8 +49,12 @@ def contamination_scores(
     >= tau (compared on the rounded value for the same reason).
 
     Documents shorter than ``n`` tokens contribute their full token
-    string as a single degenerate shingle (dedup.shingles semantics),
-    so every training doc emits exactly one output row.
+    string as a single degenerate shingle (dedup.shingles semantics).
+    Every training doc emits exactly one output row: docs with NO
+    shingles at all (empty/whitespace-only text) come back with
+    n_shingles = n_hit = 0, contamination 0.0, contaminated false —
+    an empty doc is clean, not silently missing (callers anti-join on
+    this output; a dropped row would misclassify).
     """
     train_sh = shingles(train_docs, text_col, id_col, n)
     eval_sh = (
@@ -64,8 +68,18 @@ def contamination_scores(
         F.count("*").alias("n_shingles"),
         F.count("_hit").alias("n_hit"),
     )
-    contamination = F.round(F.col("n_hit") / F.col("n_shingles"), 6)
-    return agg.select(
+    per_doc = train_docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+    )
+    contamination = F.round(
+        F.when(F.col("n_shingles") > 0, F.col("n_hit") / F.col("n_shingles")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return per_doc.select(
         id_col,
         "n_shingles",
         "n_hit",

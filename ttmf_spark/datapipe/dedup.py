@@ -47,6 +47,15 @@ def hash64(col, seed: int = 0, fn: str = "xxhash64"):
     )
 
 
+def u60(col, seed: int = 0, fn: str = "xxhash64"):
+    """Uniform non-negative 60-bit draw from a string column — the single
+    point of truth for the fold-to-60-bits idiom shared by mixture
+    sampling, stratified sampling, and sequence packing (the SQL twins
+    mirror it as ``% 2^60``; md5 mode is already 60-bit, xxhash64 folds
+    exactly since 2^64 is a multiple of 2^60)."""
+    return F.pmod(hash64(col, seed=seed, fn=fn), F.lit(1 << 60))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id document per exact (normalized) text duplicate set.
 

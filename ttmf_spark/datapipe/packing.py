@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ttmf_spark.datapipe.dedup import hash64
+from ttmf_spark.datapipe.dedup import u60
 from ttmf_spark.datapipe.textstats import _tokens
 
 
@@ -54,7 +54,7 @@ def pack_sequences(
     (pack_last = pack_first) rather than the degenerate empty range.
     Token counts are whitespace tokens (textstats semantics).
     """
-    u = F.pmod(hash64(F.col(id_col).cast("string"), seed=seed, fn=hash_fn), F.lit(1 << 60))
+    u = u60(F.col(id_col).cast("string"), seed=seed, fn=hash_fn)
     d = docs.select(
         F.col(id_col),
         u.alias("_u"),

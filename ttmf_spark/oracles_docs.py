@@ -517,11 +517,21 @@ agg AS (
   SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(e.shingle) AS n_hit
   FROM train t LEFT JOIN eval_sh e ON t.shingle = e.shingle
   GROUP BY 1
+),
+per_doc AS (
+  -- one row per training doc even when it has no shingles at all
+  -- (empty text): clean, not missing — mirrors contamination_scores
+  SELECT d.doc_id, COALESCE(a.n_shingles, 0) AS n_shingles,
+         COALESCE(a.n_hit, 0) AS n_hit
+  FROM (SELECT doc_id FROM documents WHERE doc_id % {modulus} <> 0) d
+  LEFT JOIN agg a ON d.doc_id = a.doc_id
 )
 SELECT doc_id, n_shingles, n_hit,
-       ROUND(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contamination,
-       ROUND(CAST(n_hit AS DOUBLE) / n_shingles, 6) >= {tau} AS contaminated
-FROM agg
+       ROUND(CASE WHEN n_shingles > 0 THEN CAST(n_hit AS DOUBLE) / n_shingles
+                  ELSE 0.0 END, 6) AS contamination,
+       ROUND(CASE WHEN n_shingles > 0 THEN CAST(n_hit AS DOUBLE) / n_shingles
+                  ELSE 0.0 END, 6) >= {tau} AS contaminated
+FROM per_doc
 """
 
 
@@ -571,7 +581,7 @@ WITH w AS (SELECT * FROM (VALUES {rows}) AS t(source, p_keep))
 SELECT d.doc_id, d.source, CAST(w.p_keep AS DOUBLE) AS p_keep,
        ROUND(CAST(1.0 AS DOUBLE) / CAST(w.p_keep AS DOUBLE), 6) AS sample_weight
 FROM documents d JOIN w ON d.source = w.source
-WHERE ({u} % {two60}) < CAST(CAST(w.p_keep AS DOUBLE) * {float(two60)!r} AS BIGINT)
+WHERE ({u} % {two60}) < CAST(floor(CAST(w.p_keep AS DOUBLE) * {float(two60)!r}) AS BIGINT)
 """
 
 
