@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kgc_candidates": Q.q_kg_kgc_candidates,
         "kg_common_neighbors": Q.q_kg_common_neighbors,
         "kg_relation_profile": Q.q_kg_relation_profile,
+        "kg_triangles": Q.q_kg_triangles,
         "kg_link_prediction": Q.q_kg_link_prediction,
         "kg_rank_metrics": Q.q_kg_rank_metrics,
         "kg_accuracy": Q.q_kg_accuracy,
@@ -82,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": Q.q_emb_near_dup,
         "emb_lsh_topk": Q.q_emb_lsh_topk,
         "emb_ivf_topk": Q.q_emb_ivf_topk,
+        "emb_classify": Q.q_emb_classify,
+        "emb_classifier_eval": Q.q_emb_classifier_eval,
         # data pipeline: event streams
         "evt_sessions": Q.q_evt_sessions,
         "evt_windowed": Q.q_evt_windowed,
@@ -109,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kgc_candidates": oracles_eval.kg_kgc_candidates_sql(),
         "kg_common_neighbors": oracles_kg.kg_common_neighbors_sql(),
         "kg_relation_profile": oracles_kg.kg_relation_profile_sql(),
+        "kg_triangles": oracles_kg.kg_triangles_sql(),
         "kg_link_prediction": oracles_eval.kg_link_prediction_sql(),
         "kg_rank_metrics": oracles_eval.kg_rank_metrics_sql(),
         "kg_accuracy": oracles_eval.kg_accuracy_sql(),
@@ -139,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": oracles_docs.emb_near_dup_sql(),
         "emb_ivf_topk": oracles_docs.emb_ivf_topk_sql(),
         "emb_lsh_topk": oracles_docs.emb_lsh_topk_sql(),
+        "emb_classify": oracles_docs.emb_classify_sql(),
+        "emb_classifier_eval": oracles_docs.emb_classifier_eval_sql(),
         "evt_sessions": oracles_events.evt_sessions_sql(),
         "evt_windowed": oracles_events.evt_windowed_sql(),
         "evt_json_stats": oracles_events.evt_json_stats_sql(),

@@ -428,3 +428,76 @@ def test_contamination_empty_doc_emits_clean_row(spark):
     for i in (2, 3):
         assert out[i]["n_shingles"] == 0 and out[i]["n_hit"] == 0
         assert out[i]["contamination"] == 0.0 and not out[i]["contaminated"]
+
+
+# --- centroid classifier (datapipe/classify.py) ------------------------------
+
+
+def _np_centroid_classify(vecs, labels):
+    """Numpy replica of classify.centroid_classify's contract: unit norm,
+    per-class mean rounded 8, dot rounded 6, argmax ties to lowest label."""
+    v = np.asarray(vecs, dtype=np.float64)
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    u = np.where(n > 0, v / np.where(n == 0, 1, n), v)
+    labs = np.asarray(labels)
+    classes = sorted(set(labels))
+    cents = {c: np.round(u[labs == c].mean(axis=0), 8) for c in classes}
+    out = []
+    for i in range(len(v)):
+        scores = [(round(float(u[i] @ cents[c]), 6), c) for c in classes]
+        best = max(scores, key=lambda sc: (sc[0], -sc[1]))
+        out.append((i, int(labs[i]), int(best[1]), best[0]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def labeled_emb(spark):
+    rng = np.random.default_rng(11)
+    labels = [i % 3 for i in range(30)]
+    base = rng.normal(size=(3, 8))
+    vecs = [base[l] + 0.3 * rng.normal(size=8) for l in labels]
+    rows = [
+        (i, [float(x) for x in vecs[i]], labels[i]) for i in range(30)
+    ] + [(30, [0.0] * 8, 0)]  # zero vector: unit-norm guard path
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_centroid_classify_matches_numpy(spark, labeled_emb):
+    from ttmf_spark.datapipe import classify
+
+    got = sorted(
+        map(tuple, classify.centroid_classify(labeled_emb, dim=8).collect())
+    )
+    rows = sorted(map(tuple, labeled_emb.collect()))
+    exp = _np_centroid_classify([r[1] for r in rows], [r[2] for r in rows])
+    exp = sorted((rows[i][0], l, p, s) for i, (_, l, p, s) in enumerate(exp))
+    assert [g[:3] for g in got] == [e[:3] for e in exp]
+    assert got == pytest.approx(exp, abs=1e-6)
+
+
+def test_centroid_classify_partition_invariant(spark, labeled_emb):
+    from ttmf_spark.datapipe import classify
+
+    a = sorted(map(tuple, classify.centroid_classify(labeled_emb, dim=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            classify.centroid_classify(labeled_emb.repartition(7), dim=8).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_classifier_eval_counts(spark, labeled_emb):
+    from ttmf_spark.datapipe import classify
+
+    cls = classify.centroid_classify(labeled_emb, dim=8)
+    rows = cls.collect()
+    ev = {r["label"]: (r["n"], r["n_correct"], r["accuracy"])
+          for r in classify.classifier_eval(cls).collect()}
+    for lab in {r["label"] for r in rows}:
+        n = sum(1 for r in rows if r["label"] == lab)
+        c = sum(1 for r in rows if r["label"] == lab and r["pred"] == lab)
+        assert ev[lab] == (n, c, pytest.approx(round(c / n, 6)))
+    # well-separated synthetic classes: the classifier should mostly work
+    assert sum(e[1] for e in ev.values()) >= 25

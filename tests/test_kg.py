@@ -460,3 +460,52 @@ def test_energy_join_matches_broadcast(spark, tiny_ids):
     assert set(got) == set(base)
     for k, v in base.items():
         assert got[k] == pytest.approx(v, rel=1e-4)
+
+
+def test_triangle_stats_hand_graph(spark):
+    """graph.triangle_stats on a hand-built graph: K4 + pendant, plus a
+    hub star with one cross-edge (exercises the degree-ordered
+    orientation where the hub is the HIGHEST-rank endpoint), parallel
+    relations, a reversed duplicate edge, and a self-loop."""
+    rows = []
+    k4 = [1, 2, 3, 4]
+    for i, a in enumerate(k4):
+        for b in k4[i + 1:]:
+            rows.append((a, 0, b))
+    rows += [
+        (1, 1, 2),   # parallel relation — collapses in the skeleton
+        (2, 0, 1),   # reversed duplicate — collapses
+        (3, 0, 3),   # self-loop — ignored
+        (1, 0, 5),   # pendant
+        # hub 10 -> leaves 11..15, one cross-edge 11-12 closes a triangle
+        (10, 0, 11), (10, 0, 12), (10, 0, 13), (10, 0, 14), (10, 0, 15),
+        (11, 0, 12),
+    ]
+    idt = spark.createDataFrame(rows, ["h", "r", "t"])
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clust_coef"])
+        for r in graph.triangle_stats(idt).collect()
+    }
+    expected = {
+        1: (4, 3, 0.5),     # K4 member + pendant edge
+        2: (3, 3, 1.0),
+        3: (3, 3, 1.0),
+        4: (3, 3, 1.0),
+        5: (1, 0, 0.0),
+        10: (5, 1, 0.1),    # hub: one triangle over C(5,2)=10 wedges
+        11: (2, 1, 1.0),
+        12: (2, 1, 1.0),
+        13: (1, 0, 0.0),
+        14: (1, 0, 0.0),
+        15: (1, 0, 0.0),
+    }
+    assert got == expected
+
+
+def test_triangle_stats_partition_invariant(spark):
+    idt = spark.createDataFrame(
+        [(1, 0, 2), (2, 0, 3), (3, 0, 1), (3, 0, 4)], ["h", "r", "t"]
+    )
+    a = sorted(map(tuple, graph.triangle_stats(idt).collect()))
+    b = sorted(map(tuple, graph.triangle_stats(idt.repartition(7)).collect()))
+    assert a == b == [(1, 2, 1, 1.0), (2, 2, 1, 1.0), (3, 3, 1, 0.333333), (4, 1, 0, 0.0)]

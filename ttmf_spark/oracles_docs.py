@@ -623,3 +623,42 @@ SELECT doc_id, source,
 FROM h
 QUALIFY rank <= {k}
 """
+
+
+def emb_classify_sql(dim: int = 64) -> str:
+    """Twin of classify.centroid_classify: per-class unit-vector mean
+    centroids (rounded 8), rounded-6 dot scores, argmax with lowest-label
+    tie-break."""
+    cent_elems = ", ".join(f"ROUND(AVG(uv[{i + 1}]), 8)" for i in range(dim))
+    return f"""
+WITH {_UNIT_EMB.strip()},
+lab AS (SELECT u2.vec_id, u2.uv, e.label
+        FROM un u2 JOIN embeddings e ON e.vec_id = u2.vec_id),
+cent AS (
+  SELECT label AS cl, list_value({cent_elems}) AS cv
+  FROM lab GROUP BY label
+),
+scored AS (
+  SELECT l.vec_id, l.label, c.cl,
+         ROUND(list_dot_product(l.uv, c.cv), 6) AS score
+  FROM lab l CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, label, cl, score,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cl ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(label AS INT) AS label, CAST(cl AS INT) AS pred, score
+FROM ranked WHERE rn = 1
+"""
+
+
+def emb_classifier_eval_sql(dim: int = 64) -> str:
+    """Twin of classify.classifier_eval over emb_classify_sql."""
+    return f"""
+WITH cls AS ({emb_classify_sql(dim)})
+SELECT CAST(label AS INT) AS label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(AVG(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM cls GROUP BY label
+"""

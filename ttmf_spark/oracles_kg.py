@@ -318,3 +318,40 @@ SELECT tph.r, n_triples, n_heads, n_tails, tph, hpt,
             ELSE 'N-N' END AS category
 FROM tph JOIN hpt ON tph.r = hpt.r
 """
+
+
+def kg_triangles_sql() -> str:
+    """Twin of graph.triangle_stats. The Spark side enumerates with the
+    degree-ordered orientation (skew bound); orientation changes the plan
+    only, so this twin uses the naive a<b orientation — identical result
+    by construction."""
+    return f"""
+WITH {KG_BASE},
+und AS MATERIALIZED (
+  SELECT h AS node, t AS nbr FROM idt WHERE h <> t
+  UNION
+  SELECT t AS node, h AS nbr FROM idt WHERE h <> t
+),
+deg AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node),
+e AS MATERIALIZED (SELECT node AS x, nbr AS y FROM und WHERE node < nbr),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1
+  JOIN e e2 ON e2.x = e1.y
+  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+tn AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(tn.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(2.0 * COALESCE(tn.triangles, 0)
+                       / (d.degree * (d.degree - 1.0)), 6)
+            ELSE 0.0 END AS clust_coef
+FROM deg d LEFT JOIN tn ON tn.node = d.node
+"""

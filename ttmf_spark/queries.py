@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 import numpy as np
 
 from ttmf_spark import corpus
-from ttmf_spark.datapipe import dedup, events, multimodal, similarity, textstats
+from ttmf_spark.datapipe import classify, dedup, events, multimodal, similarity, textstats
 from ttmf_spark.extract import extract_triples
 from ttmf_spark.kg import encode, evaluate, fusion, graph, negatives, pagerank, paths
 from ttmf_spark.kg.threshold import best_threshold
@@ -216,6 +216,17 @@ def q_kg_relation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     category (graph.relation_profile) — pre-training KG QA."""
     idt, _ = _id_triples(spark, sf_dir)
     return graph.relation_profile(idt)
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected KG skeleton (graph.triangle_stats, degree-ordered
+    orientation). This synthetic corpus extracts a multipartite KG, so
+    every count is 0 here — the gate still pins degrees and the
+    zero-triangle path; tests/test_kg.py pins non-zero counts on a
+    hand-built graph."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.triangle_stats(idt)
 
 
 def q_kg_kgc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +587,22 @@ def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def q_emb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based filtering: nearest-class-centroid (Rocchio)
+    classification of every embedding (classify.centroid_classify) — the
+    quality-classifier stage of a curation pipeline; train = one agg,
+    model = inlined literals, inference = narrow scan-speed map."""
+    return classify.centroid_classify(_emb(spark, sf_dir), dim=64)
+
+
+def q_emb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class resubstitution accuracy of the centroid classifier
+    (classify.classifier_eval) — the trust gate before filtering by it."""
+    return classify.classifier_eval(
+        classify.centroid_classify(_emb(spark, sf_dir), dim=64)
+    )
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
