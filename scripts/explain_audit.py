@@ -235,6 +235,31 @@ def main() -> None:
         forbid=["CartesianProduct"],
     )
 
+    # triangles: degree-ordered orientation -> equi-joins only, and the
+    # skeleton snapshots keep the plan linear (bounded Exchange count)
+    tr = Q.q_kg_triangles(spark, sf_dir)
+    audit(
+        "kg_triangles",
+        tr,
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython"],
+    )
+    n_ex = plan_of(tr).count("Exchange")
+    print(f"[kg_triangles_linear_plan] exchanges={n_ex}")
+    out.append(("kg_triangles_linear_plan", "", {"exchanges": n_ex},
+                [] if n_ex <= 40 else ["plan blowup: encode subtree replicated"]))
+
+    # centroid classifier inference: model is inlined literals — the
+    # classify map must ride the scan with NO exchange of any kind
+    audit(
+        "emb_classify",
+        Q.q_emb_classify(spark, sf_dir),
+        out,
+        forbid=["Exchange", "CartesianProduct", "MapInPandas",
+                "BatchEvalPython"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

@@ -223,3 +223,20 @@ SELECT CASE WHEN side THEN neg ELSE h END AS h,
        r, -1 AS flag, row_h * 2 + 1 AS seq
 FROM c
 """
+
+
+def kg_dev_loss_sql(seed: int = 17, energy_seed: int = 19, margin: float = 1.0) -> str:
+    """Twin of q_kg_dev_loss: the tc-pair set with md5-derived energies,
+    pos 2k / neg 2k+1 self-join, mean hinge (transe.dev_hinge_loss)."""
+    return f"""
+WITH tc AS ({kg_tc_pairs_sql(seed)}),
+en AS (
+  SELECT seq, flag,
+         (({_hx(energy_seed, 'h,r,t,flag')} % 1000000) / 1e6) * 2.0 AS energy
+  FROM tc
+),
+pos AS (SELECT seq // 2 AS k, energy AS e_pos FROM en WHERE flag = 1),
+neg AS (SELECT (seq - 1) // 2 AS k, energy AS e_neg FROM en WHERE flag = -1)
+SELECT ROUND(AVG(GREATEST({margin} + e_pos - e_neg, 0.0)), 6) AS dev_loss
+FROM pos JOIN neg USING (k)
+"""

@@ -16,7 +16,16 @@ import numpy as np
 from ttmf_spark import corpus
 from ttmf_spark.datapipe import classify, dedup, events, multimodal, similarity, textstats
 from ttmf_spark.extract import extract_triples
-from ttmf_spark.kg import encode, evaluate, fusion, graph, negatives, pagerank, paths
+from ttmf_spark.kg import (
+    encode,
+    evaluate,
+    fusion,
+    graph,
+    negatives,
+    pagerank,
+    paths,
+    transe,
+)
 from ttmf_spark.kg.threshold import best_threshold
 
 
@@ -259,6 +268,20 @@ def _lp_candidates(spark, sf_dir, n_fills: int = 50):
         (F.col("t") == F.col("t_true")).alias("is_true"),
         (F.pmod(_h(["h", "r", "t"], 7), F.lit(1_000_000)) / 1e6).alias("conf"),
     ), ids
+
+
+def q_kg_dev_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 dev hinge loss (TransE.java:357-380): the REAL
+    transe.dev_hinge_loss operator (pair self-join on the N1 seq key +
+    mean hinge) over the tc-pair set, with portable md5-derived fixture
+    energies standing in for TransE energies (the trainable part is not
+    SQL-expressible; the operator is)."""
+    pairs = q_kg_tc_pairs(spark, sf_dir).withColumn(
+        "energy",
+        (F.pmod(_h(["h", "r", "t", "flag"], 19), F.lit(1_000_000)) / 1e6) * 2.0,
+    )
+    out = transe.dev_hinge_loss(pairs, margin=1.0)
+    return out.select(F.round("dev_loss", 6).alias("dev_loss"))
 
 
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
