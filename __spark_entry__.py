@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_flatten": Q.q_span_flatten,
         "extract_triples": Q.q_extract_triples,
         # KG layer (SURVEY.md §2.3-2.7)
+        "kg_cooccurrence": Q.q_kg_cooccurrence,
         "kg_entity2id": Q.q_kg_entity2id,
         "kg_triples2id": Q.q_kg_triples2id,
         "kg_adjacency": Q.q_kg_adjacency,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "span_flatten": oracles.span_flatten_sql(),
         "extract_triples": oracles.truth_triples_sql(),
+        "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
         "kg_entity2id": oracles_kg.kg_entity2id_sql(),
         "kg_triples2id": oracles_kg.kg_triples2id_sql(),
         "kg_adjacency": oracles_kg.kg_adjacency_sql(),

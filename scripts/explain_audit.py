@@ -260,6 +260,17 @@ def main() -> None:
                 "BatchEvalPython"],
     )
 
+    # co-occurrence PMI: gazetteer probes broadcast, per-doc pair
+    # self-join is an equi-join on doc_id, marginals broadcast, top-k via
+    # TakeOrderedAndProject — never a cartesian
+    audit(
+        "kg_cooccurrence",
+        Q.q_kg_cooccurrence(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin", "TakeOrderedAndProject"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

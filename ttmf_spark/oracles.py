@@ -89,3 +89,40 @@ SELECT doc_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sort1, tie1, tie2, sort2) - 1 AS INT) AS offset
 FROM raw
 """
+
+
+def kg_cooccurrence_sql(min_count: int = 2, k: int = 100) -> str:
+    """Twin of extract.cooccur.entity_cooccurrence: the planted per-doc
+    entity sets (exactly what linking + canonicalization recovers — same
+    construction as truth_triples_sql, whose extract parity is P=R=1.0),
+    within-doc pairs, PMI, top-k (pmi desc, a, b)."""
+    return f"""
+WITH {_OC}, {_LI},
+de AS MATERIALIZED (
+  SELECT DISTINCT doc_id, entity FROM (
+    SELECT 'D' || o_orderkey AS doc_id, 'O' || o_orderkey AS entity FROM oc
+    UNION ALL SELECT 'D' || o_orderkey, 'C' || c_custkey FROM oc
+    UNION ALL SELECT 'D' || o_orderkey, 'N' || c_nationkey FROM oc
+    UNION ALL SELECT 'D' || o_orderkey, 'R' || n_regionkey FROM oc
+    UNION ALL SELECT 'D' || l_orderkey, 'P' || l_partkey FROM li
+    UNION ALL SELECT 'D' || l_orderkey, 'S' || s_suppkey FROM li
+    UNION ALL SELECT 'D' || l_orderkey, 'N' || s_nationkey FROM li
+  ) u
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM de),
+cx AS (SELECT entity, COUNT(*) AS c FROM de GROUP BY entity),
+pairs AS (
+  SELECT l.entity AS a, r.entity AS b, COUNT(*) AS c_ab
+  FROM de l JOIN de r ON l.doc_id = r.doc_id AND l.entity < r.entity
+  GROUP BY l.entity, r.entity
+  HAVING COUNT(*) >= {min_count}
+)
+SELECT p.a, p.b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+       ROUND(ln(p.c_ab * CAST(nd.n AS DOUBLE) / (ca.c * cb.c)), 6) AS pmi
+FROM pairs p
+JOIN cx ca ON ca.entity = p.a
+JOIN cx cb ON cb.entity = p.b
+CROSS JOIN nd
+ORDER BY pmi DESC, p.a, p.b
+LIMIT {k}
+"""

@@ -15,7 +15,7 @@ import numpy as np
 
 from ttmf_spark import corpus
 from ttmf_spark.datapipe import classify, dedup, events, multimodal, similarity, textstats
-from ttmf_spark.extract import extract_triples
+from ttmf_spark.extract import cooccur, extract_triples
 from ttmf_spark.kg import (
     encode,
     evaluate,
@@ -49,6 +49,16 @@ def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dims(spark, sf_dir):
     truth = corpus.truth_triples(spark, sf_dir)
     return truth, encode.entity_dim(truth), encode.relation_dim(truth)
+
+
+def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-candidate mining: top-100 entity pairs by document-level
+    PMI over linked+canonicalized mentions (extract.cooccur) — the
+    pre-relation-extraction signal of the KG construction front end."""
+    docs = corpus.interleaved_docs(spark, sf_dir)
+    gaz = corpus.gazetteer(spark, sf_dir)
+    same = corpus.same_as_edges(spark, sf_dir)
+    return cooccur.entity_cooccurrence(docs, gaz, same, min_count=2, k=100)
 
 
 def q_kg_entity2id(spark: SparkSession, sf_dir: str) -> DataFrame:
