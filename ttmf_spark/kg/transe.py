@@ -225,11 +225,14 @@ def dev_hinge_loss(
     ``pairs``: (..., flag, seq, energy) with seq pairing pos 2k / neg 2k+1
     (negatives.tc_pairs layout). One self-join on the pair key.
     """
+    # exact integer halving (shiftright), NOT `/ 2`: seq is a 60-bit+
+    # hash-derived key, and long / int goes through double (53-bit
+    # mantissa), which can collide distinct pair keys near 2^62
     pos = pairs.filter(F.col("flag") == 1).select(
-        (F.col("seq") / 2).cast("long").alias("k"), F.col(energy_col).alias("e_pos")
+        F.shiftright(F.col("seq"), 1).alias("k"), F.col(energy_col).alias("e_pos")
     )
     neg = pairs.filter(F.col("flag") == -1).select(
-        ((F.col("seq") - 1) / 2).cast("long").alias("k"),
+        F.shiftright(F.col("seq") - 1, 1).alias("k"),
         F.col(energy_col).alias("e_neg"),
     )
     return pos.join(neg, "k").agg(
