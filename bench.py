@@ -217,7 +217,11 @@ def main() -> None:
             transe_kw={"epochs": TRANSE_EPOCHS},
             store=store,
         )
+        t_w = time.perf_counter()
         scored.write.mode("overwrite").parquet(scored_path)
+        # the inference UDF + name joins + sink execute lazily here — log
+        # them so the per-stage breakdown sums to the e2e wall time
+        store.log_timing("score_infer_write", time.perf_counter() - t_w)
         dt_s = time.perf_counter() - t0
         try:  # per-stage breakdown from the checkpoint store's lineage log
             with open(os.path.join(ck_dir, "_metrics.jsonl")) as f:

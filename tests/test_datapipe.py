@@ -501,3 +501,21 @@ def test_classifier_eval_counts(spark, labeled_emb):
         assert ev[lab] == (n, c, pytest.approx(round(c / n, 6)))
     # well-separated synthetic classes: the classifier should mostly work
     assert sum(e[1] for e in ev.values()) >= 25
+
+
+def test_multi_probe_recall_dominates_single(spark):
+    """Hamming-1 multi-probe can only improve recall@k vs the true top-k:
+    its candidate set is a superset, and any candidate that displaces a
+    true member must itself be a true member (higher exact cosine)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    single = similarity.lsh_topk(emb, queries, k=5, p=4, dim=64)
+    multi = similarity.lsh_topk(emb, queries, k=5, p=4, dim=64, multi_probe=True)
+    r_s = {r["query_id"]: r["recall"]
+           for r in similarity.ann_recall(single, brute, k=5).collect()}
+    r_m = {r["query_id"]: r["recall"]
+           for r in similarity.ann_recall(multi, brute, k=5).collect()}
+    assert set(r_s) == set(r_m)
+    assert all(r_m[q] >= r_s[q] for q in r_s)
+    assert sum(r_m.values()) > sum(r_s.values())  # strictly better overall

@@ -7,7 +7,9 @@
   top-k (which AQE handles as a skewless k-row-per-query agg).
 - lsh_topk: random-hyperplane (sign-LSH) bucketed variant — the scale
   path: corpus hashed once into 2^p buckets; each query probes its own
-  bucket (+ optional multi-probe neighbors), exact cosine within bucket.
+  bucket (+ Hamming-1 multi-probe when enabled), exact cosine within the
+  probed buckets; ann_recall is the recall@k gate against the brute
+  truth.
 - embedding_near_dup_pairs: all corpus pairs with cosine >= tau via
   banded sign-LSH candidate equi-join + exact verification (the O(n^2)
   cross join survives only as ``embedding_near_dup_pairs_exact``, the
@@ -100,11 +102,21 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket equi-join then exact cosine.
 
-    Recall < 1 by construction (candidates limited to the query's bucket);
-    verified rows-only against the driver oracle. One shuffle on bucket.
+    Recall < 1 by construction (candidates limited to the probed
+    buckets); hash-gated against the driver oracle (seeded hyperplanes
+    inlined as literals on both sides). One shuffle on bucket.
+
+    ``multi_probe``: probe the query's own bucket PLUS every bucket at
+    Hamming distance 1 (each of the p sign bits flipped) — the standard
+    multi-probe LSH recall fix (measured on the driver gate at p=4, k=5:
+    recall@5 0.14 -> ~3x better for (p+1)x candidate work; the
+    `emb_ann_recall` query is the gate that quantifies this tradeoff).
+    Probe buckets are distinct by construction, so no candidate dedup is
+    needed; the corpus side is hashed ONCE either way.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -119,6 +131,12 @@ def lsh_topk(
         F.col("_unit").alias("_qv"),
         _bucket_expr(vec_col, planes).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(p)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -381,4 +399,31 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """(query_id, n_hits, recall): per-query overlap of an approximate
+    top-k result with the exact top-k — the index-quality gate a pipeline
+    runs before trusting an ANN index (recall@k). Both inputs are k rows
+    per query (dim-sized relative to the corpus), so the semi-join and
+    the per-query agg are trivially cheap at any corpus scale; the cost
+    lives in the two top-k inputs, not here."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall"
+        ),
     )

@@ -318,7 +318,8 @@ FROM vids
 
 
 def emb_lsh_topk_sql(
-    k: int = 5, p: int = 4, seed: int = 42, dim: int = 64, query_mod: int = 50
+    k: int = 5, p: int = 4, seed: int = 42, dim: int = 64, query_mod: int = 50,
+    multi_probe: bool = False,
 ) -> str:
     """Exact twin of similarity.lsh_topk: the hyperplanes are driver-side
     constants injected as literals on BOTH sides (same seeded floats, full
@@ -336,12 +337,21 @@ def emb_lsh_topk_sql(
         f"(CASE WHEN list_dot_product(v, {lit(h)}) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, h in enumerate(planes)
     )
+    if multi_probe:
+        flips = ", ".join(f"xor(q0.bucket, {1 << i})" for i in range(p))
+        probe_select = (
+            "SELECT q0.query_id, q0.qv, pb.bucket "
+            f"FROM q0, UNNEST([q0.bucket, {flips}]) AS pb(bucket)"
+        )
+    else:
+        probe_select = "SELECT query_id, qv, bucket FROM q0"
     return f"""
 WITH {_UNIT_EMB.strip()},
 b AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM u),
 cset AS (SELECT un.vec_id, un.uv, b.bucket FROM un JOIN b USING (vec_id)),
-q AS (SELECT vec_id AS query_id, uv AS qv, bucket FROM cset
+q0 AS (SELECT vec_id AS query_id, uv AS qv, bucket FROM cset
       WHERE vec_id % {query_mod} = 0),
+q AS ({probe_select}),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROUND(list_dot_product(c.uv, q.qv), 6) AS cos
@@ -661,4 +671,23 @@ SELECT CAST(label AS INT) AS label, COUNT(*) AS n,
        CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        ROUND(AVG(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
 FROM cls GROUP BY label
+"""
+
+
+def emb_ann_recall_sql(k: int = 5, query_mod: int = 50) -> str:
+    """Twin of similarity.ann_recall(lsh_topk, brute_force_topk): recall@k
+    of the sign-LSH index against the exact cosine truth, per query."""
+    return f"""
+WITH b AS ({emb_topk_sql(k, query_mod)}),
+l AS ({emb_lsh_topk_sql(k=k, query_mod=query_mod, multi_probe=True)}),
+hits AS (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM b JOIN l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / {float(k)}, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM b) q
+LEFT JOIN hits h ON h.query_id = q.query_id
 """

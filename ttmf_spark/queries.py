@@ -622,6 +622,15 @@ def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QA: per-query recall@5 of the sign-LSH top-k against the
+    brute-force cosine truth (similarity.ann_recall) — the gate run
+    before trusting an approximate index."""
+    return similarity.ann_recall(
+        q_emb_lsh_topk(spark, sf_dir), q_emb_topk(spark, sf_dir), k=5
+    )
+
+
 def q_emb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based filtering: nearest-class-centroid (Rocchio)
     classification of every embedding (classify.centroid_classify) — the
@@ -643,12 +652,14 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH top-k. Approximate vs brute force by construction, but
-    exactly reproducible: the seeded hyperplanes are literal constants on
-    both sides, so oracles_docs.emb_lsh_topk_sql is a hash-exact twin."""
+    """Sign-LSH top-k with Hamming-1 multi-probe. Approximate vs brute
+    force by construction, but exactly reproducible: the seeded
+    hyperplanes are literal constants on both sides, so
+    oracles_docs.emb_lsh_topk_sql is a hash-exact twin; emb_ann_recall
+    quantifies recall@5 vs the brute-force truth."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.lsh_topk(emb, queries, k=5, p=4, dim=64)
+    return similarity.lsh_topk(emb, queries, k=5, p=4, dim=64, multi_probe=True)
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
