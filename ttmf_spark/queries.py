@@ -51,6 +51,36 @@ def _dims(spark, sf_dir):
     return truth, encode.entity_dim(truth), encode.relation_dim(truth)
 
 
+def q_kg_extraction_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule quality criterion as a query: precision/recall/F1
+    of the FULL extraction pipeline (detect -> link -> canonicalize ->
+    assemble) against the planted gold triples. The oracle twin computes
+    gold-vs-gold, so a green row asserts BOTH the P/R arithmetic and
+    P = R = 1.0 for the pipeline (criterion: >= 0.95)."""
+    got = q_extract_triples(spark, sf_dir).select("s", "p", "o").distinct()
+    gold = corpus.truth_triples(spark, sf_dir).select("s", "p", "o").distinct()
+    j = got.withColumn("_g", F.lit(1)).join(
+        gold.withColumn("_t", F.lit(1)), ["s", "p", "o"], "full_outer"
+    )
+    agg = j.agg(
+        F.sum(F.coalesce("_g", F.lit(0))).alias("n_extracted"),
+        F.sum(F.coalesce("_t", F.lit(0))).alias("n_gold"),
+        F.sum(
+            F.when(F.col("_g").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    p = F.col("tp") / F.col("n_extracted")
+    r = F.col("tp") / F.col("n_gold")
+    return agg.select(
+        "n_extracted",
+        "n_gold",
+        "tp",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / (p + r), 6).alias("f1"),
+    )
+
+
 def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation-candidate mining: top-100 entity pairs by document-level
     PMI over linked+canonicalized mentions (extract.cooccur) — the
