@@ -507,7 +507,9 @@ def test_multi_probe_recall_dominates_single(spark):
     """Hamming-1 multi-probe can only improve recall@k vs the true top-k:
     its candidate set is a superset, and any candidate that displaces a
     true member must itself be a true member (higher exact cosine)."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from tests.conftest import SF_UNIT
+
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     brute = similarity.brute_force_topk(emb, queries, k=5)
     single = similarity.lsh_topk(emb, queries, k=5, p=4, dim=64)

@@ -24,7 +24,12 @@ Scale shape:
 Determinism/parity: unit-norm and dots in float64; centroid elements
 rounded to 8, scores to 6; argmax on the ROUNDED score with lowest-label
 tie-break — so the DuckDB twin (same rounding, ROW_NUMBER ordering)
-matches bit-for-bit.
+matches. Caveat (same class as the ivf_refine means): a distributed mean
+is order-sensitive at the last ulp, so the 8-decimal centroid rounding
+is deterministic only up to a ~1e-12-wide boundary band — measure-zero
+at fixture scales (the gate pins sf0.01), but at 10^5+ rows per class a
+boundary flip is possible; pin centroids as literals (the model IS
+collected anyway) if bit-stability across reruns ever matters.
 """
 
 from __future__ import annotations

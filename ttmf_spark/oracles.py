@@ -135,7 +135,8 @@ def kg_extraction_pr_sql() -> str:
     return f"""
 WITH gold AS ({truth_triples_sql()})
 SELECT COUNT(*) AS n_extracted, COUNT(*) AS n_gold, COUNT(*) AS tp,
-       ROUND(1.0, 6) AS precision, ROUND(1.0, 6) AS recall,
-       ROUND(1.0, 6) AS f1
+       ROUND(CAST(1.0 AS DOUBLE), 6) AS precision,
+       ROUND(CAST(1.0 AS DOUBLE), 6) AS recall,
+       ROUND(CAST(1.0 AS DOUBLE), 6) AS f1
 FROM gold
 """
