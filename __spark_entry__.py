@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_common_neighbors": Q.q_kg_common_neighbors,
         "kg_relation_profile": Q.q_kg_relation_profile,
         "kg_triangles": Q.q_kg_triangles,
+        "kg_kcore": Q.q_kg_kcore,
         "kg_dev_loss": Q.q_kg_dev_loss,
         "kg_link_prediction": Q.q_kg_link_prediction,
         "kg_rank_metrics": Q.q_kg_rank_metrics,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_threshold_scan": oracles_kg.kg_threshold_scan_sql(),
         "kg_pagerank_fixed": oracles_kg.kg_pagerank_fixed_sql(),
         "kg_tc_pairs": oracles_eval.kg_tc_pairs_sql(),
+        "kg_kcore": oracles_kg.kg_kcore_sql(),
         "kg_dev_loss": oracles_eval.kg_dev_loss_sql(),
         "kg_kgc_candidates": oracles_eval.kg_kgc_candidates_sql(),
         "kg_common_neighbors": oracles_kg.kg_common_neighbors_sql(),

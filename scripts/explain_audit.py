@@ -260,6 +260,17 @@ def main() -> None:
                 "BatchEvalPython"],
     )
 
+    # k-core peel: the audited plan is the final sweep (the loop
+    # localCheckpoints between sweeps) — degree agg + two semi-joins,
+    # equi only
+    audit(
+        "kg_kcore",
+        Q.q_kg_kcore(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython"],
+    )
+
     # co-occurrence PMI: gazetteer probes broadcast, per-doc pair
     # self-join is an equi-join on doc_id, marginals broadcast, top-k via
     # TakeOrderedAndProject — never a cartesian

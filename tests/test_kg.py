@@ -509,3 +509,23 @@ def test_triangle_stats_partition_invariant(spark):
     a = sorted(map(tuple, graph.triangle_stats(idt).collect()))
     b = sorted(map(tuple, graph.triangle_stats(idt.repartition(7)).collect()))
     assert a == b == [(1, 2, 1, 1.0), (2, 2, 1, 1.0), (3, 3, 1, 0.333333), (4, 1, 0, 0.0)]
+
+
+def test_kcore_converged_hand_graph(spark):
+    """graph.kcore fixpoint on a hand graph: a 4-cycle (the true 2-core)
+    with a 3-node pendant chain that needs MULTIPLE peel sweeps, plus an
+    isolated edge that peels immediately."""
+    edges = [
+        (1, 0, 2), (2, 0, 3), (3, 0, 4), (4, 0, 1),   # 4-cycle: the 2-core
+        (4, 0, 5), (5, 0, 6), (6, 0, 7),               # chain peels in 3 sweeps
+        (8, 0, 9),                                      # isolated edge
+    ]
+    idt = spark.createDataFrame(edges, ["h", "r", "t"])
+    got = sorted(map(tuple, graph.kcore(idt, k=2).collect()))
+    assert got == [(1, 2), (2, 2), (3, 2), (4, 2)]
+    # fixed-round variant with enough rounds reaches the same fixpoint
+    fixed = sorted(map(tuple, graph.kcore(idt, k=2, rounds=5).collect()))
+    assert fixed == got
+    # one round only peels the frontier layer (7 and 8/9 go; 5,6 still in)
+    one = {r["node"] for r in graph.kcore(idt, k=2, rounds=1).collect()}
+    assert one == {1, 2, 3, 4, 5, 6}

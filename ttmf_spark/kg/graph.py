@@ -351,3 +351,65 @@ def triangle_stats(id_triples: DataFrame, checkpoint: bool = True) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clust_coef"),
     )
+
+
+def kcore(
+    id_triples: DataFrame,
+    k: int = 2,
+    rounds: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """K-core of the undirected distinct KG skeleton: iteratively peel
+    nodes with degree < k until fixpoint (``rounds=None``) or for exactly
+    ``rounds`` sweeps (the hash-gatable twin — same fixed-iteration
+    pattern as pagerank_routed(max_iter=20): an unrolled-CTE DuckDB
+    oracle matches it sweep for sweep). Output: (node, degree) over the
+    surviving edge set — the cohesion profile a pipeline reads next to
+    triangles/clustering coefficient (dense cores = well-attested
+    regions; the periphery peels off first).
+
+    Scale shape per sweep: one degree agg + two semi-joins, all equi on
+    node ids; the edge set only shrinks, and localCheckpoint per sweep
+    keeps lineage flat (an unbounded loop otherwise compounds analysis
+    cost). Peeling converges in <= diameter sweeps; the fixpoint variant
+    stops early via a driver-side count compare (same loop-guard pattern
+    as the reference's PageRank convergence check, pagerank.py:78-81).
+    """
+    alive = (
+        id_triples.filter(F.col("h") != F.col("t"))
+        .select(F.col("h").alias("node"), F.col("t").alias("nbr"))
+        .unionByName(
+            id_triples.filter(F.col("h") != F.col("t")).select(
+                F.col("t").alias("node"), F.col("h").alias("nbr")
+            )
+        )
+        .distinct()
+    )
+    if checkpoint:
+        alive = alive.localCheckpoint(eager=True)
+    n_prev = alive.count()
+    i = 0
+    while True:
+        keep = (
+            alive.groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        nxt = alive.join(keep, "node", "left_semi").join(
+            keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        i += 1
+        if rounds is not None:
+            alive = nxt
+            if i >= rounds:
+                break
+        else:
+            n_next = nxt.count()
+            alive, done = nxt, n_next == n_prev
+            n_prev = n_next
+            if done:
+                break
+    return alive.groupBy("node").agg(F.count("*").alias("degree"))

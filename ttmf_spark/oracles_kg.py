@@ -355,3 +355,30 @@ SELECT d.node, d.degree,
             ELSE 0.0 END AS clust_coef
 FROM deg d LEFT JOIN tn ON tn.node = d.node
 """
+
+
+def kg_kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Twin of graph.kcore(k, rounds=rounds): the peel loop unrolled into
+    one CTE per sweep (same fixed-iteration gating pattern as
+    kg_pagerank_fixed_sql)."""
+    parts = [
+        "a0 AS MATERIALIZED ("
+        "  SELECT h AS node, t AS nbr FROM idt WHERE h <> t"
+        "  UNION"
+        "  SELECT t AS node, h AS nbr FROM idt WHERE h <> t)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS (SELECT node FROM "
+            f"(SELECT node, COUNT(*) AS c FROM a{i - 1} GROUP BY node) d "
+            f"WHERE c >= {k})"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT a.node, a.nbr FROM a{i - 1} a "
+            f"JOIN k{i} x ON a.node = x.node "
+            f"JOIN k{i} y ON a.nbr = y.node)"
+        )
+    return (
+        f"WITH {KG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
+        f"SELECT node, COUNT(*) AS degree FROM a{rounds} GROUP BY node"
+    )

@@ -310,6 +310,15 @@ def _lp_candidates(spark, sf_dir, n_fills: int = 50):
     ), ids
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the KG skeleton at exactly 8 peel sweeps (graph.kcore) —
+    fixed-iteration so the unrolled-CTE DuckDB twin gates the iterative
+    peel loop itself (same pattern as kg_pagerank_fixed); the cohesion
+    profile next to kg_triangles/kg_relation_profile."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.kcore(idt, k=2, rounds=8)
+
+
 def q_kg_dev_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 dev hinge loss (TransE.java:357-380): the REAL
     transe.dev_hinge_loss operator (pair self-join on the N1 seq key +
