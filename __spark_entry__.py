@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": Q.q_emb_lsh_topk,
         "emb_ivf_topk": Q.q_emb_ivf_topk,
         "emb_ann_recall": Q.q_emb_ann_recall,
+        "emb_ivf_recall": Q.q_emb_ivf_recall,
         "emb_classify": Q.q_emb_classify,
         "emb_classifier_eval": Q.q_emb_classifier_eval,
         # data pipeline: event streams
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": oracles_docs.emb_ivf_topk_sql(),
         "emb_lsh_topk": oracles_docs.emb_lsh_topk_sql(multi_probe=True),
         "emb_ann_recall": oracles_docs.emb_ann_recall_sql(),
+        "emb_ivf_recall": oracles_docs.emb_ivf_recall_sql(),
         "emb_classify": oracles_docs.emb_classify_sql(),
         "emb_classifier_eval": oracles_docs.emb_classifier_eval_sql(),
         "evt_sessions": oracles_events.evt_sessions_sql(),

@@ -691,3 +691,22 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM b) q
 LEFT JOIN hits h ON h.query_id = q.query_id
 """
+
+
+def emb_ivf_recall_sql(k: int = 5, query_mod: int = 50) -> str:
+    """Twin of similarity.ann_recall(ivf_topk, brute_force_topk): recall@k
+    of the IVF index (hash-sampled centroids, n_probe=4) vs the truth."""
+    return f"""
+WITH b AS ({emb_topk_sql(k, query_mod)}),
+l AS ({emb_ivf_topk_sql(k=k, query_mod=query_mod)}),
+hits AS (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM b JOIN l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / {float(k)}, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM b) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""

@@ -670,6 +670,14 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QA for the IVF index: per-query recall@5 vs the
+    brute-force truth (same gate as emb_ann_recall for the LSH index)."""
+    return similarity.ann_recall(
+        q_emb_ivf_topk(spark, sf_dir), q_emb_topk(spark, sf_dir), k=5
+    )
+
+
 def q_emb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based filtering: nearest-class-centroid (Rocchio)
     classification of every embedding (classify.centroid_classify) — the
