@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data pipeline: text analysis + dedup
         "doc_stats": Q.q_doc_stats,
         "doc_quality": Q.q_doc_quality,
+        "doc_top_quality": Q.q_doc_top_quality,
         "doc_langid": Q.q_doc_langid,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "doc_top_ngrams": Q.q_doc_top_ngrams,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_lowest_conf": oracles_eval.kg_lowest_conf_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "doc_quality": oracles_docs.doc_quality_sql(),
+        "doc_top_quality": oracles_docs.doc_top_quality_sql(),
         "doc_langid": oracles_docs.doc_langid_sql(),
         "doc_fingerprint": oracles_docs.doc_fingerprint_sql(),
         "doc_top_ngrams": oracles_docs.doc_top_ngrams_sql(),

@@ -151,3 +151,48 @@ def mixture_sample(
             F.round(F.lit(1.0) / F.col("p_keep"), 6).alias("sample_weight"),
         )
     )
+
+
+def top_quality_per_source(
+    docs: DataFrame,
+    k: int,
+    n_salts: int = 64,
+    hash_fn: str = "xxhash64",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best-k documents per source by quality score — the "keep the best
+    of each domain" curation step (quality from
+    textstats.with_quality_score, rounded to 6 so the ordering is
+    engine-portable; ties broken by doc_id asc).
+
+    Same skew-safe two-phase top-k as stratified_sample: a naive
+    row_number() over (source) sorts the biggest crawl domain in ONE
+    task; here phase 1 ranks within (source, hash-salt bucket) and
+    phase 2 ranks the <= k*n_salts survivors — identical output (the
+    global top-k is contained in the union of per-bucket top-ks for ANY
+    total order), bounded partitions throughout.
+    """
+    from pyspark.sql.window import Window
+
+    from ttmf_spark.datapipe.dedup import u60
+    from ttmf_spark.datapipe.textstats import with_quality_score
+
+    q = with_quality_score(docs).select(
+        id_col, source_col, F.round("quality", 6).alias("quality")
+    )
+    d = q.withColumn(
+        "_salt",
+        F.pmod(u60(F.col(id_col).cast("string"), seed=0, fn=hash_fn), F.lit(n_salts)),
+    )
+    order = [F.col("quality").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(source_col, "_salt").orderBy(*order)
+    survivors = d.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(id_col, source_col, "quality", "rank")
+    )

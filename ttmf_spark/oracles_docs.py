@@ -710,3 +710,18 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM b) q
 LEFT JOIN hits h ON h.query_id = q.query_id
 """
+
+
+def doc_top_quality_sql(k: int = 10) -> str:
+    """Twin of curation.top_quality_per_source: naive per-source window
+    top-k by (quality desc, doc_id) — the two-phase Spark plan is
+    output-identical by construction."""
+    return f"""
+WITH q AS ({doc_quality_sql()})
+SELECT doc_id, source, quality, CAST(rank AS INT) AS rank FROM (
+  SELECT q.doc_id, d.source, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY q.quality DESC, q.doc_id ASC) AS rank
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+) t WHERE rank <= {k}
+"""

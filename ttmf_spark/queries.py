@@ -15,6 +15,7 @@ import numpy as np
 
 from ttmf_spark import corpus
 from ttmf_spark.datapipe import classify, dedup, events, multimodal, similarity, textstats
+from ttmf_spark.datapipe import curation as curation_ops
 from ttmf_spark.extract import cooccur, extract_triples
 from ttmf_spark.kg import (
     encode,
@@ -504,6 +505,13 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_token_counts(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "n_subwords"
     )
+
+
+def q_doc_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-10 documents per source by quality (curation.
+    top_quality_per_source, skew-safe two-phase top-k) — the keep-the-
+    best-of-each-domain curation step."""
+    return curation_ops.top_quality_per_source(_docs(spark, sf_dir), k=10)
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
