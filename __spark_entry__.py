@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": Q.q_doc_stats,
         "doc_quality": Q.q_doc_quality,
         "doc_top_quality": Q.q_doc_top_quality,
+        "doc_weighted_sample": Q.q_doc_weighted_sample,
         "doc_langid": Q.q_doc_langid,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "doc_top_ngrams": Q.q_doc_top_ngrams,
@@ -133,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oracles_docs.doc_stats_sql(),
         "doc_quality": oracles_docs.doc_quality_sql(),
         "doc_top_quality": oracles_docs.doc_top_quality_sql(),
+        "doc_weighted_sample": oracles_docs.doc_weighted_sample_sql(),
         "doc_langid": oracles_docs.doc_langid_sql(),
         "doc_fingerprint": oracles_docs.doc_fingerprint_sql(),
         "doc_top_ngrams": oracles_docs.doc_top_ngrams_sql(),

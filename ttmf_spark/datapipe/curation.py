@@ -196,3 +196,44 @@ def top_quality_per_source(
         .filter(F.col("rank") <= k)
         .select(id_col, source_col, "quality", "rank")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    seed: int = 5,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential-draw rule): keep the k docs with the smallest
+    key = -ln(u) / w, where u is the salted 60-bit uniform draw of the
+    doc id mapped into (0, 1] and w = quality + 0.001 (strictly positive)
+    — inclusion probability proportional to quality, the "sample the
+    training mix by quality" step. Completes the sampling family:
+    mixture (Bernoulli, weighted by source), stratified (uniform
+    exact-k per source), top_quality (deterministic best), this
+    (global weighted random).
+
+    Determinism/parity: u is exact integer arithmetic on both engines;
+    the key is rounded to 12 decimals before ranking (an engine's ln may
+    differ in the last ulp) with doc_id as the tie-break, so the DuckDB
+    twin orders identically. Global top-k = TakeOrderedAndProject — no
+    full sort materializes.
+    """
+    from ttmf_spark.datapipe.dedup import u60
+    from ttmf_spark.datapipe.textstats import with_quality_score
+
+    q = with_quality_score(docs).select(
+        id_col, "source", F.round("quality", 6).alias("quality")
+    )
+    u = (u60(F.col(id_col).cast("string"), seed=seed, fn=hash_fn) + 1) / F.lit(
+        float(1 << 60)
+    )
+    key = F.round(-F.log(u) / (F.col("quality") + F.lit(0.001)), 12)
+    return (
+        q.withColumn("key", key)
+        .orderBy(F.col("key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "source", "quality", "key")
+    )

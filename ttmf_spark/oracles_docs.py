@@ -725,3 +725,22 @@ SELECT doc_id, source, quality, CAST(rank AS INT) AS rank FROM (
   FROM q JOIN documents d ON d.doc_id = q.doc_id
 ) t WHERE rank <= {k}
 """
+
+
+def doc_weighted_sample_sql(k: int = 100, seed: int = 5) -> str:
+    """Twin of curation.weighted_sample: same exact integer draw, same
+    rounded Efraimidis-Spirakis key, same (key, doc_id) order."""
+    h = _md5h(f"'{seed}' || CAST(q.doc_id AS VARCHAR)")
+    two60 = 1 << 60
+    u = f"(({h} % {two60}) + 1) / {two60}.0"
+    return f"""
+WITH q AS ({doc_quality_sql()}),
+keyed AS (
+  SELECT q.doc_id, d.source, q.quality,
+         ROUND(-ln({u}) / (q.quality + 0.001), 12) AS key
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+)
+SELECT doc_id, source, quality, key FROM keyed
+ORDER BY key ASC, doc_id ASC
+LIMIT {k}
+"""

@@ -536,6 +536,13 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_repetition_stats(_docs(spark, sf_dir))
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample-without-replacement (Efraimidis-Spirakis,
+    curation.weighted_sample, md5 draw for oracle parity): the 100 docs
+    with the smallest -ln(u)/quality keys."""
+    return curation_ops.weighted_sample(_docs(spark, sf_dir), k=100, hash_fn="md5")
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed keep/drop curation gate (duplicate > low_quality >
     boilerplate > ok) — datapipe/curation.py."""
