@@ -521,3 +521,20 @@ def test_multi_probe_recall_dominates_single(spark):
     assert set(r_s) == set(r_m)
     assert all(r_m[q] >= r_s[q] for q in r_s)
     assert sum(r_m.values()) > sum(r_s.values())  # strictly better overall
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    from ttmf_spark.datapipe import curation
+
+    from tests.conftest import SF_UNIT
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    a = [tuple(r) for r in curation.weighted_sample(docs, k=50, hash_fn="md5").collect()]
+    b = [tuple(r) for r in
+         curation.weighted_sample(docs.repartition(7), k=50, hash_fn="md5").collect()]
+    assert a == b  # pure function of ids + quality, any partitioning
+    # weighting sanity: the selected docs skew toward higher quality
+    sel_q = sum(r[2] for r in a) / len(a)
+    all_q = [r["quality"] for r in
+             curation.weighted_sample(docs, k=docs.count(), hash_fn="md5").collect()]
+    assert sel_q > sum(all_q) / len(all_q)
