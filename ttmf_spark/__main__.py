@@ -66,13 +66,23 @@ def main(argv: list[str] | None = None) -> None:
     common.add_argument("--master", help="master for plain-python runs only")
     common.add_argument("--buckets", type=int, default=64)
     sub.add_parser("extract", parents=[common], help="docs -> (s,p,o) triples")
-    sc = sub.add_parser(
-        "score", parents=[common], help="docs -> trust-scored triples"
+    score_common = argparse.ArgumentParser(add_help=False)
+    score_common.add_argument("--kind", default="logistic",
+                              choices=["logistic", "mlp", "crisscross"])
+    score_common.add_argument("--checkpoint",
+                              help="StageStore dir (resume + metrics)")
+    score_common.add_argument("--transe-epochs", type=int, default=50)
+    sub.add_parser(
+        "score", parents=[common, score_common],
+        help="docs -> trust-scored triples",
     )
-    sc.add_argument("--kind", default="logistic",
-                    choices=["logistic", "mlp", "crisscross"])
-    sc.add_argument("--checkpoint", help="StageStore dir (resume + metrics)")
-    sc.add_argument("--transe-epochs", type=int, default=50)
+    er = sub.add_parser(
+        "errors", parents=[common, score_common],
+        help="bottom-k lowest-confidence triples (reference find_errors.py)",
+    )
+    er.add_argument("--k", type=int, default=100)
+    er.add_argument("--threshold", type=float, default=None,
+                    help="optional conf < theta pre-filter (P5)")
     args = ap.parse_args(argv)
 
     spark = _build_session(args)
@@ -82,17 +92,25 @@ def main(argv: list[str] | None = None) -> None:
     docs, gaz, same = _inputs(spark, args)
     t0 = time.perf_counter()
     triples = extract_triples(docs, gaz, same)
-    if args.cmd == "score":
+    if args.cmd in ("score", "errors"):
         from ttmf_spark.checkpoint import StageStore
-        from ttmf_spark.kg.pipeline import score_triples
+        from ttmf_spark.kg.pipeline import lowest_confidence, score_triples
 
         store = StageStore(args.checkpoint) if args.checkpoint else None
         scored, _model = score_triples(
             spark, triples, kind=args.kind, store=store,
             transe_kw={"epochs": args.transe_epochs},
         )
-        write_partitioned(scored, args.out, bucket_col="s",
-                          n_buckets=args.buckets, sort_cols=["s", "p", "o"])
+        if args.cmd == "errors":
+            # k-row report (find_errors.py:54-67): no bucketing needed
+            report = lowest_confidence(
+                scored, k=args.k, threshold=args.threshold,
+                tie_cols=["s", "p", "o"],
+            )
+            report.coalesce(1).write.mode("overwrite").parquet(args.out)
+        else:
+            write_partitioned(scored, args.out, bucket_col="s",
+                              n_buckets=args.buckets, sort_cols=["s", "p", "o"])
     else:
         write_partitioned(triples, args.out, bucket_col="s",
                           n_buckets=args.buckets, sort_cols=["s", "p", "o"])
