@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data pipeline: text analysis + dedup
         "doc_stats": Q.q_doc_stats,
         "doc_quality": Q.q_doc_quality,
+        "doc_source_tfidf": Q.q_doc_source_tfidf,
         "doc_top_quality": Q.q_doc_top_quality,
         "doc_weighted_sample": Q.q_doc_weighted_sample,
         "doc_langid": Q.q_doc_langid,
@@ -133,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_lowest_conf": oracles_eval.kg_lowest_conf_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "doc_quality": oracles_docs.doc_quality_sql(),
+        "doc_source_tfidf": oracles_docs.doc_source_tfidf_sql(),
         "doc_top_quality": oracles_docs.doc_top_quality_sql(),
         "doc_weighted_sample": oracles_docs.doc_weighted_sample_sql(),
         "doc_langid": oracles_docs.doc_langid_sql(),

@@ -249,3 +249,57 @@ def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("top_3gram_frac", p3)
         .drop("_toks")
     )
+
+
+def source_tfidf(
+    docs: DataFrame,
+    k: int = 10,
+    n_salts: int = 64,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Top-k TF-IDF terms per source — the domain-signature analysis a
+    curation pipeline reads to understand what each crawl source is
+    about: tf = total occurrences of the term in the source, idf =
+    ln(n_sources / n_sources_containing_term), ties broken by term asc.
+    Score rounded to 6 (engine-portable ln).
+
+    Scale: term counts are one map-side-combinable groupBy (source,
+    term); the per-term source frequency is a second dim-shaped agg; the
+    per-source top-k uses the same skew-safe two-phase ranking as
+    curation.top_quality_per_source (phase 1 within a term-hash salt
+    bucket, so a source with a 10^8-term vocabulary never sorts in one
+    task). n_sources is a single driver scalar.
+    """
+    from pyspark.sql.window import Window
+
+    from ttmf_spark.datapipe.dedup import u60
+
+    terms = docs.select(
+        source_col, F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(source_col, "term").agg(F.count("*").alias("tf"))
+    n_sources = docs.select(source_col).distinct().count()
+    sf = tf.groupBy("term").agg(F.count("*").alias("n_src"))
+    scored = tf.join(sf, "term").select(
+        source_col,
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("n_src")), 6).alias(
+            "tfidf"
+        ),
+    )
+    d = scored.withColumn(
+        "_salt", F.pmod(u60(F.col("term"), seed=0), F.lit(n_salts))
+    )
+    order = [F.col("tfidf").desc(), F.col("term").asc()]
+    w1 = Window.partitionBy(source_col, "_salt").orderBy(*order)
+    survivors = d.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(source_col, "term", "tf", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

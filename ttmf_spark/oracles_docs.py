@@ -744,3 +744,26 @@ SELECT doc_id, source, quality, key FROM keyed
 ORDER BY key ASC, doc_id ASC
 LIMIT {k}
 """
+
+
+def doc_source_tfidf_sql(k: int = 10) -> str:
+    """Twin of textstats.source_tfidf: naive per-source QUALIFY top-k —
+    the two-phase Spark ranking is output-identical for any total order."""
+    return f"""
+WITH terms AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+ns AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+sf AS (SELECT term, COUNT(*) AS n_src FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         ROUND(tf.tf * ln(ns.n * 1.0 / sf.n_src), 6) AS tfidf
+  FROM tf JOIN sf ON sf.term = tf.term CROSS JOIN ns
+)
+SELECT source, term, tf, tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -507,6 +507,12 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_source_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 TF-IDF terms per source (textstats.source_tfidf, skew-safe
+    two-phase per-source top-k) — the domain-signature analysis."""
+    return textstats.source_tfidf(_docs(spark, sf_dir), k=10)
+
+
 def q_doc_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-10 documents per source by quality (curation.
     top_quality_per_source, skew-safe two-phase top-k) — the keep-the-
