@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_classifier_eval": Q.q_emb_classifier_eval,
         # data pipeline: event streams
         "evt_sessions": Q.q_evt_sessions,
+        "evt_funnel": Q.q_evt_funnel,
         "evt_windowed": Q.q_evt_windowed,
         "evt_json_stats": Q.q_evt_json_stats,
         # data pipeline: multimodal plumbing
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_classify": oracles_docs.emb_classify_sql(),
         "emb_classifier_eval": oracles_docs.emb_classifier_eval_sql(),
         "evt_sessions": oracles_events.evt_sessions_sql(),
+        "evt_funnel": oracles_events.evt_funnel_sql(),
         "evt_windowed": oracles_events.evt_windowed_sql(),
         "evt_json_stats": oracles_events.evt_json_stats_sql(),
         "media_frame_plan": oracles_docs.media_frame_plan_sql(),

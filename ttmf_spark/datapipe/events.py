@@ -115,3 +115,45 @@ def json_props_stats(events: DataFrame, field: str = "k") -> DataFrame:
             F.sum("_v").cast("double").alias("sum_field"),
         )
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    step_a: str = "signup",
+    step_b: str = "purchase",
+    horizon_minutes: int = 1440,
+) -> DataFrame:
+    """Two-step funnel: for every user with at least one ``step_a`` event,
+    the first step_a time, the first ``step_b`` time at-or-after it, and
+    whether that conversion landed within ``horizon_minutes`` — the
+    product-analytics query every event pipeline answers.
+
+    Shape: two filtered min-aggregations per user (map-side combinable)
+    joined at user granularity — the B side aggregates the min-B-per-user
+    CONDITIONED on A via one equi-join on user_id then min(ts_b >= ts_a);
+    no window over raw events, no per-event shuffle beyond the two aggs.
+    Timestamps as component-derived epoch seconds (engine-portable).
+    """
+    e = events.select("user_id", "event_type", _epoch_sec().alias("s"))
+    first_a = (
+        e.filter(F.col("event_type") == step_a)
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_a"))
+    )
+    b = e.filter(F.col("event_type") == step_b).select("user_id", F.col("s").alias("_tb"))
+    first_b_after = (
+        first_a.join(b, "user_id")
+        .filter(F.col("_tb") >= F.col("t_a"))
+        .groupBy("user_id", "t_a")
+        .agg(F.min("_tb").alias("t_b"))
+    )
+    out = first_a.join(first_b_after.select("user_id", "t_b"), "user_id", "left")
+    return out.select(
+        "user_id",
+        "t_a",
+        "t_b",
+        (
+            F.col("t_b").isNotNull()
+            & (F.col("t_b") - F.col("t_a") <= horizon_minutes * 60)
+        ).alias("converted"),
+    )

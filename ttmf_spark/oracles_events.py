@@ -62,3 +62,27 @@ SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.{field}') AS BIGINT)) AS DOUBLE) AS sum_field
 FROM events GROUP BY event_type
 """
+
+
+def evt_funnel_sql(
+    step_a: str = "signup", step_b: str = "purchase", horizon_minutes: int = 1440
+) -> str:
+    """Twin of events.funnel_conversion."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 86400
+          + hour(ts) * 3600 + minute(ts) * 60 + second(ts))::BIGINT AS s
+  FROM events
+),
+fa AS (SELECT user_id, MIN(s) AS t_a FROM e WHERE event_type = '{step_a}' GROUP BY 1),
+fb AS (
+  SELECT fa.user_id, MIN(e.s) AS t_b
+  FROM fa JOIN e ON e.user_id = fa.user_id
+  WHERE e.event_type = '{step_b}' AND e.s >= fa.t_a
+  GROUP BY 1
+)
+SELECT fa.user_id, fa.t_a, fb.t_b,
+       (fb.t_b IS NOT NULL AND fb.t_b - fa.t_a <= {horizon_minutes * 60}) AS converted
+FROM fa LEFT JOIN fb ON fb.user_id = fa.user_id
+"""

@@ -786,6 +786,13 @@ def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step signup->purchase funnel within 24 h
+    (events.funnel_conversion) — the conversion query of the event
+    pipeline."""
+    return events.funnel_conversion(_events(spark, sf_dir))
+
+
 def q_evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(_events(spark, sf_dir), gap_minutes=30)
 
