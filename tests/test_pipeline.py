@@ -158,3 +158,27 @@ def test_self_loop_zero_path_features(spark):
     # the non-loop triple keeps its real line-1 path features
     assert out[(1, 2)]["path1_score"] == 0.5
     assert out[(1, 2)]["path1_align"] == 0.9
+
+
+def test_cli_errors_subcommand(spark, tmp_path, monkeypatch):
+    """The `python -m ttmf_spark errors` entry point end-to-end, sharing
+    the test session (TTMF_KEEP_SESSION): extract -> score -> bottom-k
+    report with the find_errors.py output contract."""
+    from tests.conftest import SF_UNIT
+    from ttmf_spark.__main__ import main
+
+    monkeypatch.setenv("TTMF_KEEP_SESSION", "1")
+    out = str(tmp_path / "errs")
+    main([
+        "errors", "--sf-dir", SF_UNIT, "--out", out,
+        "--k", "7", "--transe-epochs", "2",
+    ])
+    rep = spark.read.parquet(out)
+    rows = rep.collect()
+    assert len(rows) == 7
+    assert {"s", "p", "o", "conf"} <= set(rep.columns)
+    confs = [r["conf"] for r in rows]
+    # every report row carries a real confidence (file order is not a
+    # parquet contract, so no order assertion here — lowest_confidence's
+    # bottom-k semantics is pinned by its own unit test)
+    assert all(c is not None for c in confs)
