@@ -260,6 +260,37 @@ def main() -> None:
                 "BatchEvalPython"],
     )
 
+    # two-phase per-source rankings + samplers: no single-partition
+    # window anywhere (the hot-domain killer), global top-k via
+    # TakeOrderedAndProject
+    audit(
+        "doc_top_quality",
+        Q.q_doc_top_quality(spark, sf_dir),
+        out,
+        forbid=["Arguments: SinglePartition", "CartesianProduct",
+                "MapInPandas", "BatchEvalPython"],
+    )
+    audit(
+        "doc_source_tfidf",
+        Q.q_doc_source_tfidf(spark, sf_dir),
+        out,
+        forbid=["Arguments: SinglePartition", "CartesianProduct",
+                "MapInPandas", "BatchEvalPython"],
+    )
+    audit(
+        "doc_weighted_sample",
+        Q.q_doc_weighted_sample(spark, sf_dir),
+        out,
+        expect=["TakeOrderedAndProject"],
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+    audit(
+        "evt_funnel",
+        Q.q_evt_funnel(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+
     # k-core peel: the audited plan is the final sweep (the loop
     # localCheckpoints between sweeps) — degree agg + two semi-joins,
     # equi only
