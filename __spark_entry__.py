@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": Q.q_kg_link_prediction,
         "kg_rank_metrics": Q.q_kg_rank_metrics,
         "kg_accuracy": Q.q_kg_accuracy,
+        "kg_calibration": Q.q_kg_calibration,
         "kg_pr_sweep": Q.q_kg_pr_sweep,
         "kg_fusion_conf": Q.q_kg_fusion_conf,
         "kg_lowest_conf": Q.q_kg_lowest_conf,
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data pipeline: text analysis + dedup
         "doc_stats": Q.q_doc_stats,
         "doc_quality": Q.q_doc_quality,
+        "doc_lm_score": Q.q_doc_lm_score,
         "doc_source_tfidf": Q.q_doc_source_tfidf,
         "doc_top_quality": Q.q_doc_top_quality,
         "doc_weighted_sample": Q.q_doc_weighted_sample,
@@ -130,11 +132,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_prediction": oracles_eval.kg_link_prediction_sql(),
         "kg_rank_metrics": oracles_eval.kg_rank_metrics_sql(),
         "kg_accuracy": oracles_eval.kg_accuracy_sql(),
+        "kg_calibration": oracles_eval.kg_calibration_sql(),
         "kg_pr_sweep": oracles_eval.kg_pr_sweep_sql(),
         "kg_fusion_conf": oracles_eval.kg_fusion_conf_sql(),
         "kg_lowest_conf": oracles_eval.kg_lowest_conf_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "doc_quality": oracles_docs.doc_quality_sql(),
+        "doc_lm_score": oracles_docs.doc_lm_score_sql(),
         "doc_source_tfidf": oracles_docs.doc_source_tfidf_sql(),
         "doc_top_quality": oracles_docs.doc_top_quality_sql(),
         "doc_weighted_sample": oracles_docs.doc_weighted_sample_sql(),

@@ -303,3 +303,38 @@ def source_tfidf(
         .filter(F.col("rank") <= k)
         .select(source_col, "term", "tf", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def with_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram cross-entropy per doc against the corpus unigram
+    distribution: H(doc) = -(1/n) * sum ln p(tok), p(tok) = corpus
+    count / corpus total — the language-model quality signal of
+    CCNet-style filtering (a KenLM stand-in with the same dataflow:
+    score every doc against a corpus-level model; high H = far from the
+    corpus distribution = boilerplate/garbled/foreign). Docs with no
+    tokens get H = 0.0 (n_tokens = 0 disambiguates).
+
+    Scale: one map-side-combinable token count agg builds the "model";
+    the vocabulary is dim-shaped next to the corpus (Heaps' law) and is
+    broadcast to the token stream — the per-token probability lookup
+    never shuffles the corpus (a shuffle join on the token would hot-key
+    every stopword). Corpus total is one driver scalar.
+    """
+    toks = docs.select("doc_id", F.explode(_tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    scored = toks.join(F.broadcast(counts), "tok").select(
+        "doc_id", (-F.log(F.col("cnt") / F.lit(float(total)))).alias("_nll")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.round(F.avg("_nll"), 6).alias("lm_ce")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("lm_ce", F.lit(0.0)).alias("lm_ce"),
+        )
+    )

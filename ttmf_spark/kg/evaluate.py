@@ -92,3 +92,33 @@ def rank_metrics(ranks: DataFrame) -> DataFrame:
         F.avg(F.col("rank").cast("double")).alias("mean_rank"),
         F.avg(1.0 / F.col("rank")).alias("mrr"),
     )
+
+
+def calibration_table(labeled: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability diagram data over labeled (conf, flag) pairs: per
+    confidence bin, the example count, positive count, mean confidence,
+    and empirical positive rate — the calibration check run next to the
+    A8 accuracy / A9 P-R sweep before trusting confidences as
+    probabilities (the reference prints accuracy only; calibration is
+    the production-grade extension of the same labeled-pair scan).
+
+    One map-side-combinable agg over `floor(conf * n_bins)` (top edge
+    clamped into the last bin); dim-sized output.
+    """
+    b = F.least(
+        F.floor(F.col("conf") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        labeled.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("flag") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.round(F.avg("conf"), 6).alias("mean_conf"),
+            F.round(
+                F.avg(F.when(F.col("flag") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("pos_rate"),
+        )
+    )

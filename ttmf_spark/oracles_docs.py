@@ -767,3 +767,23 @@ SELECT source, term, tf, tfidf,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def doc_lm_score_sql() -> str:
+    """Twin of textstats.with_lm_score: same corpus unigram model, same
+    per-doc mean negative log-probability (rounded 6)."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS t FROM counts),
+per_doc AS (
+  SELECT toks.doc_id, COUNT(*) AS n_tokens,
+         ROUND(AVG(-ln(counts.cnt / (SELECT t * 1.0 FROM tot))), 6) AS lm_ce
+  FROM toks JOIN counts ON counts.tok = toks.tok
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(p.lm_ce, 0.0) AS lm_ce
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""

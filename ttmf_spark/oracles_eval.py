@@ -240,3 +240,24 @@ neg AS (SELECT (seq - 1) // 2 AS k, energy AS e_neg FROM en WHERE flag = -1)
 SELECT ROUND(AVG(GREATEST({margin} + e_pos - e_neg, 0.0)), 6) AS dev_loss
 FROM pos JOIN neg USING (k)
 """
+
+
+def kg_calibration_sql(n_bins: int = 10) -> str:
+    """Twin of evaluate.calibration_table over the md5-fixture labeled
+    pairs (same conf/flag construction as kg_accuracy/kg_pr_sweep)."""
+    conf = f"(({_hx(5, 'h,r,t')} % 1000000) / 1e6)"
+    flag = f"(CASE WHEN {_hx(3, 'h,r,t')} % 2 = 0 THEN 1 ELSE -1 END)"
+    return f"""
+WITH {KG_BASE.strip()},
+lp AS (SELECT {conf} AS conf, {flag} AS flag FROM idt),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(conf * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+         conf, flag
+  FROM lp
+)
+SELECT bin, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       ROUND(AVG(conf), 6) AS mean_conf,
+       ROUND(AVG(CASE WHEN flag = 1 THEN 1.0 ELSE 0.0 END), 6) AS pos_rate
+FROM binned GROUP BY bin
+"""

@@ -363,6 +363,13 @@ def _labeled_pairs(spark, sf_dir):
     )
 
 
+def q_kg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table over the labeled pairs
+    (evaluate.calibration_table, 10 bins) — the calibration check next
+    to A8/A9 before trusting confidences as probabilities."""
+    return evaluate.calibration_table(_labeled_pairs(spark, sf_dir))
+
+
 def q_kg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classification accuracy at conf=0.5 (Model1.py:478-498, A8)."""
     acc = evaluate.classification_accuracy(_labeled_pairs(spark, sf_dir))
@@ -505,6 +512,13 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_token_counts(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "n_subwords"
     )
+
+
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM cross-entropy per doc (textstats.with_lm_score) — the
+    CCNet-style model-based quality signal; corpus model broadcast, no
+    token-stream shuffle."""
+    return textstats.with_lm_score(_docs(spark, sf_dir))
 
 
 def q_doc_source_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
