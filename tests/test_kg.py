@@ -529,3 +529,31 @@ def test_kcore_converged_hand_graph(spark):
     # one round only peels the frontier layer (7 and 8/9 go; 5,6 still in)
     one = {r["node"] for r in graph.kcore(idt, k=2, rounds=1).collect()}
     assert one == {1, 2, 3, 4, 5, 6}
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+def test_best_threshold_edge_cases(spark, ascending):
+    """W1 edge battery vs the reference loop oracle: single row, all
+    scores tied, all-positive, all-negative, strictly monotone scores,
+    and duplicate scores with conflicting flags — the off-by-one traps
+    of the prefix-sum argmax (SURVEY.md hard part (a))."""
+    groups = {
+        0: [(1.0, 1)],                                   # single row
+        1: [(2.0, 1), (2.0, -1), (2.0, 1)],              # all tied
+        2: [(0.1, 1), (0.2, 1), (0.3, 1)],               # all positive
+        3: [(0.1, -1), (0.2, -1)],                       # all negative
+        4: [(float(i), 1 if i % 2 else -1) for i in range(8)],  # monotone
+        5: [(1.5, 1), (1.5, -1), (2.5, 1), (2.5, 1), (0.5, -1)],  # dup+mix
+    }
+    rows = []
+    expected = {}
+    for g, pairs in groups.items():
+        expected[g] = best_threshold_oracle(pairs, ascending)
+        rows += [(g, s, f, i) for i, (s, f) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, ["grp", "score", "flag", "seq"])
+    got = {
+        r["grp"]: r["threshold"]
+        for r in best_threshold(df, "grp", ascending=ascending).collect()
+    }
+    for g, th in expected.items():
+        assert got[g] == pytest.approx(th, abs=1e-9), f"group {g} ({ascending=})"
