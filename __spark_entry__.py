@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": Q.q_doc_mixture_sample,
         "doc_exact_dedup": Q.q_doc_exact_dedup,
         "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
+        "doc_containment_pairs": Q.q_doc_containment_pairs,
         "doc_minhash_pairs": Q.q_doc_minhash_pairs,
         "doc_near_dup_clusters": Q.q_doc_near_dup_clusters,
         "doc_simhash": Q.q_doc_simhash,
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data pipeline: event streams
         "evt_sessions": Q.q_evt_sessions,
         "evt_funnel": Q.q_evt_funnel,
+        "evt_retention": Q.q_evt_retention,
         "evt_windowed": Q.q_evt_windowed,
         "evt_json_stats": Q.q_evt_json_stats,
         # data pipeline: multimodal plumbing
@@ -156,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid_eval": oracles_docs.doc_langid_eval_sql(),
         "doc_exact_dedup": oracles_docs.doc_exact_dedup_sql(),
         "doc_jaccard_pairs": oracles_docs.doc_jaccard_pairs_sql(),
+        "doc_containment_pairs": oracles_docs.doc_containment_pairs_sql(),
         "doc_minhash_pairs": oracles_docs.doc_minhash_pairs_sql(),
         "doc_near_dup_clusters": oracles_docs.doc_near_dup_clusters_sql(),
         "doc_simhash": oracles_docs.doc_simhash_sql(),
@@ -170,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_classifier_eval": oracles_docs.emb_classifier_eval_sql(),
         "evt_sessions": oracles_events.evt_sessions_sql(),
         "evt_funnel": oracles_events.evt_funnel_sql(),
+        "evt_retention": oracles_events.evt_retention_sql(),
         "evt_windowed": oracles_events.evt_windowed_sql(),
         "evt_json_stats": oracles_events.evt_json_stats_sql(),
         "media_frame_plan": oracles_docs.media_frame_plan_sql(),

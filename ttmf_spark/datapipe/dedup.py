@@ -360,3 +360,42 @@ def near_dup_clusters(
         )
         .withColumn("keep", (F.col("rep_id") == F.col(id_col)).cast("int"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    tau: float = 0.8,
+    n: int = 3,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Broder CONTAINMENT near-dup pairs (a < b,
+    common / min(|A|, |B|) >= tau): catches subset duplicates — a short
+    doc quoted whole inside a longer one — which Jaccard misses (the
+    union in its denominator dilutes the score as the长 container grows).
+    Same inverted-index self-join and max_df skew-guard semantics as
+    jaccard_pairs (pruning removes the shingle from both documents).
+    """
+    sh = shingles(docs, text_col, id_col, n)
+    if max_df:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    overlap = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        overlap.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("containment", F.col("common") / F.least("na", "nb"))
+        .filter(F.col("containment") >= tau)
+        .select("a", "b", F.round("containment", 6).alias("containment"))
+    )

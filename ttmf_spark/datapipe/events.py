@@ -157,3 +157,35 @@ def funnel_conversion(
             & (F.col("t_b") - F.col("t_a") <= horizon_minutes * 60)
         ).alias("converted"),
     )
+
+
+def retention_cohorts(events: DataFrame, bucket_days: int = 7) -> DataFrame:
+    """Cohort retention matrix: users grouped by the bucket (default
+    week) of their FIRST event; for every later bucket, how many of the
+    cohort were active — (cohort_start_s, bucket_offset, n_users). The
+    second canonical product-analytics query next to funnel_conversion.
+
+    Shape: one min-agg per user (map-side combinable) for the cohort,
+    one distinct over (user, bucket) for activity, one broadcast-sized
+    join back on user_id, one final count agg. Buckets are integer
+    epoch-seconds arithmetic — engine-portable, no session-timezone
+    dependence.
+    """
+    width = bucket_days * 86400
+    e = events.select("user_id", _epoch_sec().alias("s")).withColumn(
+        "bucket", (F.col("s") - F.pmod(F.col("s"), width)).cast("long")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("bucket").alias("cohort_start_s"))
+    active = e.select("user_id", "bucket").distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_start_s",
+            ((F.col("bucket") - F.col("cohort_start_s")) / width)
+            .cast("int")
+            .alias("bucket_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_start_s", "bucket_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -787,3 +787,23 @@ SELECT d.doc_id,
        COALESCE(p.lm_ce, 0.0) AS lm_ce
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
+
+
+def doc_containment_pairs_sql(tau: float = 0.6, n: int = 3, max_df: int = 100) -> str:
+    """Twin of dedup.containment_pairs: common / LEAST(|A|, |B|) with the
+    same post-pruning size semantics as the jaccard twin."""
+    return f"""
+WITH {_SHINGLES.format(n=n).strip()},
+keep AS (SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= {max_df}),
+sh3 AS (SELECT s.doc_id, s.shingle FROM sh2 s JOIN keep k ON s.shingle = k.shingle),
+sizes3 AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ov.a, ov.b,
+       ROUND(CAST(common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+FROM ov JOIN sizes3 sa ON ov.a = sa.doc_id JOIN sizes3 sb ON ov.b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {tau}
+"""

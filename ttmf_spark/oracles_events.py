@@ -86,3 +86,24 @@ SELECT fa.user_id, fa.t_a, fb.t_b,
        (fb.t_b IS NOT NULL AND fb.t_b - fa.t_a <= {horizon_minutes * 60}) AS converted
 FROM fa LEFT JOIN fb ON fb.user_id = fa.user_id
 """
+
+
+def evt_retention_sql(bucket_days: int = 7) -> str:
+    """Twin of events.retention_cohorts."""
+    width = bucket_days * 86400
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 86400
+          + hour(ts) * 3600 + minute(ts) * 60 + second(ts))::BIGINT AS s
+  FROM events
+),
+b AS (SELECT user_id, (s - (s % {width}))::BIGINT AS bucket FROM e),
+cohort AS (SELECT user_id, MIN(bucket) AS cohort_start_s FROM b GROUP BY 1),
+active AS (SELECT DISTINCT user_id, bucket FROM b)
+SELECT c.cohort_start_s,
+       CAST((a.bucket - c.cohort_start_s) / {width} AS INT) AS bucket_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN cohort c ON c.user_id = a.user_id
+GROUP BY 1, 2
+"""

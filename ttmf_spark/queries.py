@@ -659,6 +659,13 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_docs(spark, sf_dir), tau=0.8, n=3, max_df=100)
 
 
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment near-dup pairs (common / min size >= 0.6,
+    dedup.containment_pairs) — catches subset duplicates Jaccard
+    dilutes; same inverted-index + max_df guard as doc_jaccard_pairs."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), tau=0.6, n=3, max_df=100)
+
+
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), tau=0.8, k=16, bands=8, n=3, hash_fn="md5"
@@ -798,6 +805,11 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (events.retention_cohorts)."""
+    return events.retention_cohorts(_events(spark, sf_dir))
 
 
 def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
