@@ -290,6 +290,34 @@ def main() -> None:
         out,
         forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
     )
+    audit(
+        "evt_retention",
+        Q.q_evt_retention(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+    # LM score: the vocabulary model must BROADCAST to the token stream
+    # (a shuffle join on the token would hot-key every stopword)
+    audit(
+        "doc_lm_score",
+        Q.q_doc_lm_score(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+    audit(
+        "doc_containment_pairs",
+        Q.q_doc_containment_pairs(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+    audit(
+        "kg_calibration",
+        Q.q_kg_calibration(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
 
     # k-core peel: the audited plan is the final sweep (the loop
     # localCheckpoints between sweeps) — degree agg + two semi-joins,
