@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_common_neighbors": Q.q_kg_common_neighbors,
         "kg_relation_profile": Q.q_kg_relation_profile,
         "kg_triangles": Q.q_kg_triangles,
+        "kg_inverse_leakage": Q.q_kg_inverse_leakage,
         "kg_kcore": Q.q_kg_kcore,
         "kg_dev_loss": Q.q_kg_dev_loss,
         "kg_link_prediction": Q.q_kg_link_prediction,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_common_neighbors": oracles_kg.kg_common_neighbors_sql(),
         "kg_relation_profile": oracles_kg.kg_relation_profile_sql(),
         "kg_triangles": oracles_kg.kg_triangles_sql(),
+        "kg_inverse_leakage": oracles_kg.kg_inverse_leakage_sql(),
         "kg_link_prediction": oracles_eval.kg_link_prediction_sql(),
         "kg_rank_metrics": oracles_eval.kg_rank_metrics_sql(),
         "kg_accuracy": oracles_eval.kg_accuracy_sql(),

@@ -557,3 +557,22 @@ def test_best_threshold_edge_cases(spark, ascending):
     }
     for g, th in expected.items():
         assert got[g] == pytest.approx(th, abs=1e-9), f"group {g} ({ascending=})"
+
+
+def test_inverse_relation_leakage_hand_graph(spark):
+    """Leakage profile on a hand graph: r0/r1 are exact inverses, r2 is
+    symmetric, r3 is clean. min_n=1 so the tiny fixture qualifies."""
+    edges = []
+    for i in range(4):  # r0 (a->b) with r1 (b->a): exact inverses
+        edges += [(i, 0, 100 + i), (100 + i, 1, i)]
+    edges += [(1, 2, 2), (2, 2, 1), (3, 2, 4), (4, 2, 3)]  # r2 symmetric
+    edges += [(5, 3, 6), (6, 3, 7)]                        # r3 clean
+    idt = spark.createDataFrame(edges, ["h", "r", "t"])
+    got = {
+        (r["r1"], r["r2"]): (r["n_r1"], r["n_both"], r["frac"])
+        for r in graph.inverse_relation_leakage(idt, min_frac=0.5, min_n=1).collect()
+    }
+    assert got[(0, 1)] == (4, 4, 1.0)
+    assert got[(1, 0)] == (4, 4, 1.0)
+    assert got[(2, 2)] == (4, 4, 1.0)   # symmetric shows as r==r
+    assert not any(3 in k for k in got)  # clean relation absent

@@ -413,3 +413,41 @@ def kcore(
             if done:
                 break
     return alive.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def inverse_relation_leakage(
+    id_triples: DataFrame,
+    min_frac: float = 0.5,
+    min_n: int = 10,
+) -> DataFrame:
+    """(Near-)inverse and symmetric relation pairs — the train/test
+    leakage pattern behind FB15K's inflated link-prediction numbers
+    (Toutanova & Chen 2015, the reason FB15k-237 exists): for relation
+    pair (r1, r2), the fraction of distinct r1 edges (h, t) whose
+    reverse (t, h) also exists under r2. A pipeline runs this BEFORE a
+    random split: any split of a graph with high-leakage pairs leaks
+    test answers into training.
+
+    Output: (r1, r2, n_r1, n_both, frac) for frac >= min_frac and
+    n_r1 >= min_n (r1 == r2 rows = symmetric relations). One self-join
+    on the (h, t) node pair — hub nodes are NOT hot keys here because
+    the join key is the edge's endpoint PAIR; map-side-combinable counts
+    above it; output is |relations|^2-bounded (dim-sized).
+    """
+    # snapshot: consumed by both join sides + the r totals
+    t1 = id_triples.select("h", "r", "t").distinct().localCheckpoint(eager=True)
+    rev = t1.select(
+        F.col("t").alias("h"), F.col("r").alias("r2"), F.col("h").alias("t")
+    )
+    both = (
+        t1.join(rev, ["h", "t"])
+        .groupBy(F.col("r").alias("r1"), "r2")
+        .agg(F.count("*").alias("n_both"))
+    )
+    nr = t1.groupBy(F.col("r").alias("r1")).agg(F.count("*").alias("n_r1"))
+    return (
+        both.join(nr, "r1")
+        .withColumn("frac", F.round(F.col("n_both") / F.col("n_r1"), 6))
+        .filter((F.col("frac") >= min_frac) & (F.col("n_r1") >= min_n))
+        .select("r1", "r2", "n_r1", "n_both", "frac")
+    )

@@ -382,3 +382,21 @@ def kg_kcore_sql(k: int = 2, rounds: int = 8) -> str:
         f"WITH {KG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
         f"SELECT node, COUNT(*) AS degree FROM a{rounds} GROUP BY node"
     )
+
+
+def kg_inverse_leakage_sql(min_frac: float = 0.5, min_n: int = 10) -> str:
+    """Twin of graph.inverse_relation_leakage."""
+    return f"""
+WITH {KG_BASE},
+t1 AS MATERIALIZED (SELECT DISTINCT h, r, t FROM idt),
+bd AS (
+  SELECT a.r AS r1, b.r AS r2, COUNT(*) AS n_both
+  FROM t1 a JOIN t1 b ON b.h = a.t AND b.t = a.h
+  GROUP BY 1, 2
+),
+nr AS (SELECT r AS r1, COUNT(*) AS n_r1 FROM t1 GROUP BY 1)
+SELECT bd.r1, bd.r2, nr.n_r1, bd.n_both,
+       ROUND(CAST(bd.n_both AS DOUBLE) / nr.n_r1, 6) AS frac
+FROM bd JOIN nr ON nr.r1 = bd.r1
+WHERE CAST(bd.n_both AS DOUBLE) / nr.n_r1 >= {min_frac} AND nr.n_r1 >= {min_n}
+"""

@@ -268,6 +268,14 @@ def q_kg_relation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.relation_profile(idt)
 
 
+def q_kg_inverse_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse/symmetric relation-pair leakage profile
+    (graph.inverse_relation_leakage) — the FB15k-237-motivating QA check
+    a pipeline runs before a random train/test split."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.inverse_relation_leakage(idt, min_frac=0.5, min_n=10)
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the
     undirected KG skeleton (graph.triangle_stats, degree-ordered
