@@ -105,9 +105,6 @@ def init_params(
     return p
 
 
-TRAINED_KEYS = None  # filled lazily: every ndarray/float param except BN stats
-
-
 def _trained_keys(params: dict) -> list[str]:
     return [
         k

@@ -167,11 +167,18 @@ def pagerank_routed(
     the fixpoint, so the union is seamless.
     """
     sizes = patched.groupBy("core").agg(F.count("*").alias("_n_edges"))
-    big_cores = sizes.filter(F.col("_n_edges") > hub_edge_bound).select("core")
+    # snapshot BEFORE counting: count() on the raw plan would run the
+    # full per-core aggregation once for the count and a second time for
+    # the eager checkpoint
+    big_cores = (
+        sizes.filter(F.col("_n_edges") > hub_edge_bound)
+        .select("core")
+        .localCheckpoint(eager=True)
+    )
     n_big = big_cores.count()
     if n_big == 0:
         return pagerank_grouped(patched, max_iter=max_iter, min_delta=min_delta)
-    big_cores = F.broadcast(big_cores.localCheckpoint(eager=True))
+    big_cores = F.broadcast(big_cores)
     small = pagerank_grouped(
         patched.join(big_cores, "core", "left_anti"),
         max_iter=max_iter,

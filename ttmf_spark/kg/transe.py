@@ -101,18 +101,23 @@ def _ptranse_sgd_epoch(
     for s in range(0, n, batch):
         idx = order[s : s + batch]
         h, r, t = triples[idx, 0], triples[idx, 1], triples[idx, 2]
-        for kind in ("pos", "ent_neg", "rel_neg"):
+        # reference loop shape (PTransE.java:325-380): per positive,
+        # NEG_SAMPLE_COUNT head-corrupt AND NEG_SAMPLE_COUNT tail-corrupt
+        # negatives (both inside the same k loop), plus ONE relation
+        # corruption — 2*n_neg + 1 negatives, not n_neg coin-flipped sides
+        for kind in ("pos", "head_neg", "tail_neg", "rel_neg"):
             if kind == "pos":
                 hh, rr, tt, sign = h, r, t, 1.0
                 reps = 1
             else:
-                reps = n_neg if kind == "ent_neg" else 1
+                reps = n_neg if kind in ("head_neg", "tail_neg") else 1
             for _rep in range(reps):
-                if kind == "ent_neg":
-                    corrupt_head = rng.random(len(idx)) < 0.5
-                    ne = rng.integers(0, n_ent, len(idx))
-                    hh = np.where(corrupt_head, ne, h)
-                    tt = np.where(corrupt_head, t, ne)
+                if kind == "head_neg":
+                    hh = rng.integers(0, n_ent, len(idx))
+                    tt, rr, sign = t, r, -1.0
+                elif kind == "tail_neg":
+                    hh = h
+                    tt = rng.integers(0, n_ent, len(idx))
                     rr, sign = r, -1.0
                 elif kind == "rel_neg":
                     hh, tt = h, t
@@ -429,6 +434,19 @@ def fit_embeddings_from_df(
     (extract/canonicalize.py). The driver path sorts triples canonically
     first, so both paths are deterministic under any input partitioning.
     """
+    # validate kernel-specific options UP FRONT so a bad call fails the
+    # same way on both routes — the distributed path's **kw would silently
+    # swallow e.g. margin= with kernel='ptranse' while the driver path
+    # raised TypeError, making success depend on dataset size
+    allowed = {"dim", "epochs", "lr", "batch", "n_shards"} | (
+        {"n_neg", "bias"} if kernel == "ptranse" else {"margin"}
+    )
+    bad = set(kw) - allowed
+    if bad:
+        raise TypeError(
+            f"fit_embeddings_from_df(kernel={kernel!r}): unsupported "
+            f"option(s) {sorted(bad)}; allowed: {sorted(allowed)}"
+        )
     n = id_triples.count()
     if n <= driver_max_triples:
         kw.pop("n_shards", None)

@@ -25,7 +25,6 @@ partition transform and a MERGE.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,19 +64,32 @@ def incremental_extract(
     gaz = gazetteer.localCheckpoint(eager=True)
     same = same_as.localCheckpoint(eager=True) if same_as is not None else None
 
+    def _sink_exists() -> bool:
+        # existence must be checked on the SINK's filesystem (s3/hdfs/
+        # local alike) — a driver-local os.path probe is always False for
+        # remote URIs and would silently disable dedup, duplicating every
+        # replayed batch; a transient FS error still propagates
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(output_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(jpath)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         triples = extract_triples(batch_df, gaz, same).withColumn(
             "bucket", F.pmod(F.xxhash64("s", "p", "o"), F.lit(n_buckets))
         )
-        # explicit existence check: a transient read error must propagate,
-        # not silently disable dedup (it would duplicate the whole batch)
-        if os.path.exists(os.path.join(output_path, "_SUCCESS")) or any(
-            e.startswith("bucket=") for e in (
-                os.listdir(output_path) if os.path.isdir(output_path) else []
-            )
-        ):
-            existing = spark.read.parquet(output_path).select(
-                "bucket", "s", "p", "o"
+        if _sink_exists():
+            # explicit schema: an empty first commit (zero extracted
+            # triples -> _SUCCESS only) must read back as an empty frame,
+            # not crash parquet schema inference and wedge the query
+            existing = (
+                spark.read.schema("s string, p string, o string")
+                .option("basePath", output_path)
+                .parquet(output_path)
+                .withColumn(
+                    "bucket", F.pmod(F.xxhash64("s", "p", "o"), F.lit(n_buckets))
+                )
+                .select("bucket", "s", "p", "o")
             )
             fresh = triples.join(
                 existing, ["bucket", "s", "p", "o"], "left_anti"
@@ -197,7 +209,10 @@ def sessionize_stream(
         "user_id",
         "ts",
         F.col("ts").cast("long").alias("sec"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # cents via the SAME per-event DECIMAL(18,2) rounding as the batch
+        # twin (events.sessionize) — round(value*100) in double disagrees
+        # at half-cent inputs (8.165*100 = 816.499... -> 816 vs 8.17)
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     ).withWatermark("ts", watermark)
 
     out_type = (
@@ -253,6 +268,16 @@ def sessionize_stream(
                 next_seq,
             )
         )
+        if keep_from < n:
+            # re-arm an event-time timeout at the earliest instant the
+            # first still-open session COULD close — so a user with no
+            # further events still gets their provably-closed sessions
+            # emitted once the watermark passes (NoTimeout would buffer
+            # them forever). (last buffered event + gap + 1) s is
+            # strictly above the current watermark by the open-session
+            # invariant. A drained buffer keeps only the (tiny) seq
+            # counter in state, with no timeout pending.
+            state.setTimeoutTimestamp((int(secs[n - 1]) + gap_s + 1) * 1000)
         import pandas as pd
 
         if rows:
@@ -271,7 +296,7 @@ def sessionize_stream(
         outputStructType=out_type,
         stateStructType=state_type,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     q = (
         agg.writeStream.format("memory")
