@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": Q.q_kg_triangles,
         "kg_inverse_leakage": Q.q_kg_inverse_leakage,
         "kg_kcore": Q.q_kg_kcore,
+        "kg_communities": Q.q_kg_communities,
+        "kg_path_reliability": Q.q_kg_path_reliability,
         "kg_dev_loss": Q.q_kg_dev_loss,
         "kg_link_prediction": Q.q_kg_link_prediction,
         "kg_rank_metrics": Q.q_kg_rank_metrics,
@@ -87,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_pairs": Q.q_doc_containment_pairs,
         "doc_minhash_pairs": Q.q_doc_minhash_pairs,
         "doc_near_dup_clusters": Q.q_doc_near_dup_clusters,
+        "doc_segment_dedup": Q.q_doc_segment_dedup,
         "doc_simhash": Q.q_doc_simhash,
         "doc_simhash_near_dup": Q.q_doc_simhash_near_dup,
         # data pipeline: similarity search
@@ -127,6 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_fixed": oracles_kg.kg_pagerank_fixed_sql(),
         "kg_tc_pairs": oracles_eval.kg_tc_pairs_sql(),
         "kg_kcore": oracles_kg.kg_kcore_sql(),
+        "kg_communities": oracles_kg.kg_communities_sql(),
+        "kg_path_reliability": oracles_kg.kg_path_reliability_sql(),
         "kg_dev_loss": oracles_eval.kg_dev_loss_sql(),
         "kg_kgc_candidates": oracles_eval.kg_kgc_candidates_sql(),
         "kg_common_neighbors": oracles_kg.kg_common_neighbors_sql(),
@@ -163,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_containment_pairs": oracles_docs.doc_containment_pairs_sql(),
         "doc_minhash_pairs": oracles_docs.doc_minhash_pairs_sql(),
         "doc_near_dup_clusters": oracles_docs.doc_near_dup_clusters_sql(),
+        "doc_segment_dedup": oracles_docs.doc_segment_dedup_sql(),
         "doc_simhash": oracles_docs.doc_simhash_sql(),
         "doc_simhash_near_dup": oracles_docs.doc_simhash_near_dup_sql(),
         "emb_topk": oracles_docs.emb_topk_sql(),

@@ -341,6 +341,39 @@ def main() -> None:
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # label propagation: audited plan is the final sweep (loop
+    # localCheckpoints) — one equi-join + two hash aggs, JVM-side
+    audit(
+        "kg_communities",
+        Q.q_kg_communities(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # PCRA 2-hop: midpoint self-equi-join with the degree guard applied
+    # BEFORE the join; integer fixed-point agg, JVM-side end to end
+    audit(
+        "kg_path_reliability",
+        Q.q_kg_path_reliability(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # segment dedup: explode + digest groupBy + same-key join — the only
+    # shuffles are on the md5 digest and doc_id, no Python anywhere
+    audit(
+        "doc_segment_dedup",
+        Q.q_doc_segment_dedup(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

@@ -538,3 +538,29 @@ def test_weighted_sample_deterministic_and_weighted(spark):
     all_q = [r["quality"] for r in
              curation.weighted_sample(docs, k=docs.count(), hash_fn="md5").collect()]
     assert sel_q > sum(all_q) / len(all_q)
+
+
+def test_segment_dup_stats_planted(spark):
+    """segment_dup_stats on crafted docs: doc 1 and 2 share their first
+    20-word segment exactly (aligned copy), doc 3 is unique, doc 4
+    repeats its own first segment (within-doc dup counts too)."""
+    seg_a = " ".join(f"w{i}" for i in range(20))
+    seg_b = " ".join(f"x{i}" for i in range(20))
+    seg_c = " ".join(f"y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, seg_a + " " + seg_b),
+            (2, seg_a + " " + seg_c),
+            (3, seg_c.replace("y", "z")),
+            (4, seg_a.replace("w", "v") + " " + seg_a.replace("w", "v")),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_dup_segs"], r["dup_frac"], r["keep"])
+        for r in dedup.segment_dup_stats(docs, k=20, tau=0.6).collect()
+    }
+    assert got[1] == (2, 1, 0.5, True)
+    assert got[2] == (2, 1, 0.5, True)
+    assert got[3] == (1, 0, 0.0, True)
+    assert got[4] == (2, 2, 1.0, False)  # self-repeat is still dup text

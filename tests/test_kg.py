@@ -576,3 +576,81 @@ def test_inverse_relation_leakage_hand_graph(spark):
     assert got[(1, 0)] == (4, 4, 1.0)
     assert got[(2, 2)] == (4, 4, 1.0)   # symmetric shows as r==r
     assert not any(3 in k for k in got)  # clean relation absent
+
+
+def test_label_propagation_two_cliques(spark):
+    """LPA on two 3-cliques joined by one bridge edge: the bridge 2-10
+    must not merge them (each bridge endpoint has 2 same-clique
+    neighbors vs 1 across). Label VALUES are opaque community ids, not
+    "the community's min node": in sweep 1 node 10's three single-vote
+    neighbors {2, 11, 12} tie and min-tie-break imports label 2, which
+    then wins the right clique — deterministic, and pinned here."""
+    edges = [
+        (0, 0, 1), (1, 0, 2), (0, 0, 2),
+        (10, 0, 11), (11, 0, 12), (10, 0, 12),
+        (2, 0, 10),
+    ]
+    idt = spark.createDataFrame(edges, ["h", "r", "t"])
+    got = dict(
+        (r["node"], r["label"])
+        for r in graph.label_propagation(idt, rounds=4).collect()
+    )
+    assert got == {0: 0, 1: 0, 2: 0, 10: 2, 11: 2, 12: 2}
+    # the partition is what matters: two communities, split at the bridge
+    assert len({got[0], got[10]}) == 2
+    assert got[0] == got[1] == got[2] and got[10] == got[11] == got[12]
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    """A path graph a-b-c: b sees one vote for each endpoint label —
+    the tie must resolve to the SMALLER label under any partitioning."""
+    idt = spark.createDataFrame([(1, 0, 2), (2, 0, 3)], ["h", "r", "t"])
+    one = dict(
+        (r["node"], r["label"])
+        for r in graph.label_propagation(idt, rounds=1).collect()
+    )
+    assert one[2] == 1  # tie between labels 1 and 3 -> min
+    rep = dict(
+        (r["node"], r["label"])
+        for r in graph.label_propagation(
+            idt.repartition(7), rounds=1
+        ).collect()
+    )
+    assert rep == one
+
+
+def test_pcra_hand_graph(spark):
+    """PCRA resources on a hand graph vs hand-computed values.
+
+    Edges (all relation 0 unless noted): h=0 -r0-> {1, 2}; 1 -r1-> 3;
+    2 -r1-> {3, 4}. Paths (0, r0, r1, t):
+      t=3: via m=1 (1/2 * 1/1) + via m=2 (1/2 * 1/2) = 0.75
+      t=4: via m=2 (1/2 * 1/2) = 0.25
+    """
+    edges = [(0, 0, 1), (0, 0, 2), (1, 1, 3), (2, 1, 3), (2, 1, 4)]
+    idt = spark.createDataFrame(edges, ["h", "r", "t"])
+    got = {
+        (r["h"], r["r1"], r["r2"], r["t"]): r["resource"]
+        for r in graph.pcra_path_reliability(idt).collect()
+    }
+    assert got[(0, 0, 1, 3)] == 0.75
+    assert got[(0, 0, 1, 4)] == 0.25
+    # min_resource prunes the weak path
+    pruned = {
+        (r["h"], r["r1"], r["r2"], r["t"])
+        for r in graph.pcra_path_reliability(idt, min_resource=0.5).collect()
+    }
+    assert pruned == {(0, 0, 1, 3)}
+
+
+def test_pcra_max_out_guard(spark):
+    """The hub guard drops (node, relation) fan-outs above max_out
+    BEFORE the join: with max_out=1, node 0's 2-edge fan-out is gone
+    and only the single-edge legs survive."""
+    edges = [(0, 0, 1), (0, 0, 2), (1, 1, 3), (2, 1, 3), (2, 1, 4)]
+    idt = spark.createDataFrame(edges, ["h", "r", "t"])
+    got = {
+        (r["h"], r["r1"], r["r2"], r["t"])
+        for r in graph.pcra_path_reliability(idt, max_out=1).collect()
+    }
+    assert got == set()  # first hop always fans out 2 -> everything gated

@@ -373,7 +373,7 @@ def containment_pairs(
     """Broder CONTAINMENT near-dup pairs (a < b,
     common / min(|A|, |B|) >= tau): catches subset duplicates — a short
     doc quoted whole inside a longer one — which Jaccard misses (the
-    union in its denominator dilutes the score as the长 container grows).
+    union in its denominator dilutes the score as the container grows).
     Same inverted-index self-join and max_df skew-guard semantics as
     jaccard_pairs (pruning removes the shingle from both documents).
     """
@@ -398,4 +398,63 @@ def containment_pairs(
         .withColumn("containment", F.col("common") / F.least("na", "nb"))
         .filter(F.col("containment") >= tau)
         .select("a", "b", F.round("containment", 6).alias("containment"))
+    )
+
+
+def segment_dup_stats(
+    docs: DataFrame,
+    k: int = 20,
+    tau: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment-level exact duplication profile (the Lee et al. 2021
+    "Deduplicating Training Data" ExactSubstr idea at pipeline
+    granularity, RefinedWeb's line-dedup analogue for unstructured
+    text): chop each document into consecutive non-overlapping ``k``-word
+    segments, hash every segment, count occurrences CORPUS-WIDE, and
+    report per doc how much of it is duplicated text. A within-doc
+    repeat counts too — suffix-array counting does not care which
+    document the other copy lives in, and neither do we.
+
+    Output: (doc_id, n_segs, n_dup_segs, dup_frac, keep) where a segment
+    is "dup" iff its global occurrence count > 1 and
+    ``keep = dup_frac < tau``.
+
+    Scale shape: explode is linear in corpus words; the only shuffle is
+    a groupBy on the 32-hex md5 segment digest (uniform by construction
+    — no skew; a boilerplate segment repeated across millions of docs
+    makes one hot COUNT cell, which map-side partial aggregation absorbs)
+    followed by a digest-keyed broadcast-unfriendly join that stays a
+    shuffle hash join on the same key — co-partitioned with the count,
+    so AQE plans it without an extra exchange. Nothing quadratic: unlike
+    pair-emitting dedup (jaccard/minhash), output is one row per doc.
+    """
+    w = docs.select(id_col, F.split(F.col(text_col), " ").alias("_w"))
+    n_seg = F.ceil(F.size("_w") / F.lit(float(k))).cast("int")
+    segs = (
+        w.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("_i"),
+            "_w",
+        )
+        .select(
+            id_col,
+            F.md5(
+                F.array_join(F.slice("_w", F.col("_i") * k + 1, k), " ")
+            ).alias("_h"),
+        )
+    )
+    gc = segs.groupBy("_h").agg(F.count("*").alias("_c"))
+    return (
+        segs.join(gc, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum((F.col("_c") > 1).cast("long")).alias("n_dup_segs"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_segs") / F.col("n_segs"), 6)
+        )
+        .withColumn("keep", F.col("dup_frac") < tau)
     )

@@ -451,3 +451,123 @@ def inverse_relation_leakage(
         .filter((F.col("frac") >= min_frac) & (F.col("n_r1") >= min_n))
         .select("r1", "r2", "n_r1", "n_both", "frac")
     )
+
+
+def label_propagation(
+    id_triples: DataFrame,
+    rounds: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected distinct KG skeleton — the entity-
+    clustering QA step a construction pipeline runs to find disconnected
+    or weakly-stitched regions before canonicalization is trusted.
+
+    Deterministic variant: every node starts labeled with its own id;
+    each sweep every node adopts the label with the highest neighbor
+    count, ties broken toward the SMALLEST label (the usual async
+    coin-flip is replaced by a total order so the same input gives the
+    same communities under any partitioning — the repo-wide determinism
+    contract). Fixed ``rounds`` sweeps, so the unrolled-CTE DuckDB twin
+    gates the loop sweep-for-sweep (same pattern as kcore/pagerank_fixed).
+
+    Output: (node, label) — community = label equivalence class.
+
+    Scale shape per sweep: one equi-join of the edge list against the
+    label map on nbr (both hash-partitioned on the join key; AQE splits
+    hub skew) + two aggregations whose map-side partial combine absorbs
+    hot (node, label) cells; the label map is node-sized, never edge-
+    sized. localCheckpoint per sweep keeps the plan flat.
+    """
+    und = (
+        id_triples.filter(F.col("h") != F.col("t"))
+        .select(F.col("h").alias("node"), F.col("t").alias("nbr"))
+        .unionByName(
+            id_triples.filter(F.col("h") != F.col("t")).select(
+                F.col("t").alias("node"), F.col("h").alias("nbr")
+            )
+        )
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    labels = und.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("_lbl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "_lbl")
+            .agg(F.count("*").alias("_c"))
+        )
+        # max by (count, -label): largest count, then smallest label
+        best = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("_c"), (-F.col("_lbl")).alias("_nl"))).alias("_b")
+        )
+        labels = best.select("node", (-F.col("_b")["_nl"]).alias("label"))
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def pcra_path_reliability(
+    id_triples: DataFrame,
+    max_out: int = 1000,
+    min_resource: float = 0.01,
+) -> DataFrame:
+    """Path-Constraint Resource Allocation reliability for 2-hop relation
+    paths (Lin et al. 2015, "Modeling Relation Paths for Representation
+    Learning" — the PCRA weighting PTransE uses to score how reliably a
+    path p = (r1, r2) connects h to t). The reference's shipped PTransE
+    trainer skips the path-composition term (KGE/src/approaches/
+    PTransE.java:373-394 corrupts relations only), so this surfaces the
+    paper's path-evidence signal as a standalone graph feature instead:
+    R(t | h, p) = sum_m [1/|out(h, r1)|] * [1/|out(m, r2)|] over
+    intermediate nodes m, i.e. one unit of resource flows out of h and
+    splits uniformly at each hop along the path's relation type.
+
+    Rows: (h, r1, r2, t, resource) with resource >= ``min_resource``
+    (PTransE prunes low-resource paths the same way).
+
+    Numerics: each term 1/(|out(h,r1)| * |out(m,r2)|) is computed in
+    FIXED-POINT — ``10^12 div (n1*n2)`` summed as integers — because a
+    float sum is order-dependent in its last bit and a distributed
+    aggregation has no stable order (a round-6 output flipped between
+    0.026562/0.026563 across engines before this). Integer sums are
+    exact and permutation-invariant; the <=1e-12 per-term truncation is
+    far below the 1e-6 output quantum.
+
+    Scale shape: two-hop = ONE self-equi-join on the midpoint id; the
+    (node, relation) out-degree side is an aggregation reused on both
+    legs. Hub midpoints are the skew hazard — ``max_out`` drops
+    (node, relation) fan-outs above the cap BEFORE the join (documented
+    recall loss: a hub's per-edge resource 1/|out| <= 1/max_out is below
+    any practical min_resource anyway, so the cap removes work, not
+    signal). AQE skew-join covers residual imbalance.
+    """
+    scale = 10**12
+    e = id_triples.select("h", "r", "t").distinct()
+    od = e.groupBy("h", "r").agg(F.count("*").alias("_n"))
+    src = e.join(od, ["h", "r"]).filter(F.col("_n") <= max_out)
+    leg1 = src.select(
+        "h", F.col("r").alias("r1"), F.col("t").alias("_m"), F.col("_n").alias("_n1")
+    )
+    leg2 = src.select(
+        F.col("h").alias("_m"), F.col("r").alias("r2"), "t", F.col("_n").alias("_n2")
+    )
+    return (
+        leg1.join(leg2, "_m")
+        .groupBy("h", "r1", "r2", "t")
+        .agg(F.sum(F.expr(f"{scale} div (_n1 * _n2)")).alias("_s"))
+        .filter(F.col("_s") >= int(min_resource * scale))
+        .select(
+            "h",
+            "r1",
+            "r2",
+            "t",
+            F.round(F.col("_s") / F.lit(float(scale)), 6).alias("resource"),
+        )
+    )

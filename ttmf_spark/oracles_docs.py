@@ -807,3 +807,34 @@ SELECT ov.a, ov.b,
 FROM ov JOIN sizes3 sa ON ov.a = sa.doc_id JOIN sizes3 sb ON ov.b = sb.doc_id
 WHERE CAST(common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {tau}
 """
+
+
+def doc_segment_dedup_sql(k: int = 20, tau: float = 0.3) -> str:
+    """Twin of dedup.segment_dup_stats(k, tau): non-overlapping k-word
+    segments via list-slice over an exploded chunk index, md5 segment
+    digests, corpus-wide occurrence counts, per-doc dup fraction."""
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+idx AS (
+  SELECT doc_id, ws,
+         UNNEST(range(0, CAST(CEIL(len(ws) / {k}.0) AS BIGINT))) AS i
+  FROM w
+),
+segs AS MATERIALIZED (
+  SELECT doc_id,
+         md5(array_to_string(ws[(i * {k} + 1):(i * {k} + {k})], ' ')) AS h
+  FROM idx
+),
+gc AS (SELECT h, COUNT(*) AS c FROM segs GROUP BY 1)
+SELECT s.doc_id,
+       COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN gc.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       ROUND(CAST(SUM(CASE WHEN gc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac,
+       ROUND(CAST(SUM(CASE WHEN gc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) < {tau} AS keep
+FROM segs s JOIN gc USING (h)
+GROUP BY 1
+"""

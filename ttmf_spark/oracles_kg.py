@@ -400,3 +400,57 @@ SELECT bd.r1, bd.r2, nr.n_r1, bd.n_both,
 FROM bd JOIN nr ON nr.r1 = bd.r1
 WHERE CAST(bd.n_both AS DOUBLE) / nr.n_r1 >= {min_frac} AND nr.n_r1 >= {min_n}
 """
+
+
+def kg_communities_sql(rounds: int = 4) -> str:
+    """Twin of graph.label_propagation(rounds=rounds): the synchronous
+    min-tie-break label-propagation sweep unrolled into one (votes,
+    labels) CTE pair per round (same fixed-iteration gating pattern as
+    kg_kcore_sql)."""
+    parts = [
+        "und AS MATERIALIZED ("
+        "  SELECT h AS node, t AS nbr FROM idt WHERE h <> t"
+        "  UNION"
+        "  SELECT t AS node, h AS nbr FROM idt WHERE h <> t)",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"v{i} AS (SELECT u.node, l.label AS lbl, COUNT(*) AS c "
+            f"FROM und u JOIN l{i - 1} l ON l.node = u.nbr GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, lbl AS label FROM ("
+            f"SELECT node, lbl, ROW_NUMBER() OVER "
+            f"(PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn FROM v{i}"
+            f") WHERE rn = 1)"
+        )
+    return (
+        f"WITH {KG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
+        f"SELECT node, label FROM l{rounds}"
+    )
+
+
+def kg_path_reliability_sql(max_out: int = 1000, min_resource: float = 0.01) -> str:
+    """Twin of graph.pcra_path_reliability: 2-hop PCRA resource via one
+    midpoint self-join over (h, r) out-degree-weighted edges. Terms are
+    summed in the same 10^12 fixed-point integer space as the Spark side
+    (float sums are order-dependent in the last bit; integer sums are
+    permutation-invariant and engine-exact)."""
+    scale = 10**12
+    return f"""
+WITH {KG_BASE},
+e AS MATERIALIZED (SELECT DISTINCT h, r, t FROM idt),
+od AS (SELECT h, r, COUNT(*) AS n FROM e GROUP BY 1, 2),
+s AS MATERIALIZED (
+  SELECT e.h, e.r, e.t, od.n FROM e
+  JOIN od ON od.h = e.h AND od.r = e.r
+  WHERE od.n <= {max_out}
+)
+SELECT a.h, a.r AS r1, b.r AS r2, b.t,
+       ROUND(CAST(SUM({scale} // (a.n * b.n)) AS DOUBLE) / {float(scale)}, 6)
+         AS resource
+FROM s a JOIN s b ON b.h = a.t
+GROUP BY 1, 2, 3, 4
+HAVING SUM({scale} // (a.n * b.n)) >= {int(min_resource * scale)}
+"""

@@ -328,6 +328,24 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore(idt, k=2, rounds=8)
 
 
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities at exactly
+    4 sweeps (graph.label_propagation) — the entity-clustering QA pass
+    over the KG skeleton; unrolled-CTE DuckDB twin gates the sweep loop
+    itself (same fixed-iteration pattern as kg_kcore)."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.label_propagation(idt, rounds=4)
+
+
+def q_kg_path_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCRA 2-hop path-reliability resources (graph.pcra_path_reliability,
+    Lin et al. 2015 PTransE weighting; surfaced as a feature table since
+    the reference's shipped PTransE trainer corrupts relations only —
+    PTransE.java:373-394)."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.pcra_path_reliability(idt, max_out=1000, min_resource=0.01)
+
+
 def q_kg_dev_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 dev hinge loss (TransE.java:357-380): the REAL
     transe.dev_hinge_loss operator (pair self-join on the N1 seq key +
@@ -687,6 +705,15 @@ def q_doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(
         _docs(spark, sf_dir), tau=0.8, k=16, bands=8, n=3, hash_fn="md5"
     )
+
+
+def q_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact duplication profile (dedup.segment_dup_stats,
+    Lee et al. 2021 ExactSubstr at k-word granularity): per doc, how
+    many of its non-overlapping k-word segments occur elsewhere in the
+    corpus (near-dup planted copies share aligned segments), and the
+    keep/drop verdict at dup_frac < tau."""
+    return dedup.segment_dup_stats(_docs(spark, sf_dir), k=20, tau=0.3)
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
