@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inverse_leakage": Q.q_kg_inverse_leakage,
         "kg_kcore": Q.q_kg_kcore,
         "kg_communities": Q.q_kg_communities,
+        "kg_hits": Q.q_kg_hits,
+        "kg_walks": Q.q_kg_walks,
+        "kg_er_candidates": Q.q_kg_er_candidates,
         "kg_path_reliability": Q.q_kg_path_reliability,
         "kg_dev_loss": Q.q_kg_dev_loss,
         "kg_link_prediction": Q.q_kg_link_prediction,
@@ -131,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_tc_pairs": oracles_eval.kg_tc_pairs_sql(),
         "kg_kcore": oracles_kg.kg_kcore_sql(),
         "kg_communities": oracles_kg.kg_communities_sql(),
+        "kg_hits": oracles_kg.kg_hits_sql(),
+        "kg_walks": oracles_kg.kg_walks_sql(),
+        "kg_er_candidates": oracles.kg_er_candidates_sql(),
         "kg_path_reliability": oracles_kg.kg_path_reliability_sql(),
         "kg_dev_loss": oracles_eval.kg_dev_loss_sql(),
         "kg_kgc_candidates": oracles_eval.kg_kgc_candidates_sql(),

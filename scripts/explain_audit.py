@@ -352,6 +352,39 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # HITS: audited plan is the final round — equi-joins + map-side-
+    # combinable sums; the 1-row max rejoins via broadcast (a deliberate
+    # BroadcastNestedLoopJoin, like similarity_topk), never a global window
+    audit(
+        "kg_hits",
+        Q.q_kg_hits(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # ER blocking: per-block equi self-join on the blocking key with the
+    # size cap BEFORE it; trigram verify is pure array exprs — no Python
+    audit(
+        "kg_er_candidates",
+        Q.q_kg_er_candidates(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # Random walks: per step two one-row-per-walk equi-joins (degree draw
+    # + indexed neighbor lookup); the neighbor index is a PER-KEY window
+    audit(
+        "kg_walks",
+        Q.q_kg_walks(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     # PCRA 2-hop: midpoint self-equi-join with the degree guard applied
     # BEFORE the join; integer fixed-point agg, JVM-side end to end
     audit(

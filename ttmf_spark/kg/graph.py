@@ -571,3 +571,81 @@ def pcra_path_reliability(
             F.round(F.col("_s") / F.lit(float(scale)), 6).alias("resource"),
         )
     )
+
+
+def hits(
+    id_triples: DataFrame,
+    rounds: int = 8,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over the directed distinct
+    KG edge set — the third spectral ranking next to in/out degree and
+    personalized PageRank: authorities = entities many good hubs point
+    at, hubs = entities pointing at many good authorities; a KG QA pass
+    reads both to find over-attested sink entities before trusting
+    degree-based features.
+
+    Fixed ``rounds`` iterations of the classic mutual recurrence
+    (auth' = sum of in-neighbor hubs, hub' = sum of out-neighbor NEW
+    auths), normalized per step by the MAX score instead of the L2 norm:
+    max is permutation-invariant (an L2 norm is a float sum whose last
+    bit depends on reduction order), so both engines run the identical
+    float64 recurrence and ROUND(., 6) hashes identically — the same
+    portability contract as kg_pagerank_fixed, with the sum-order-
+    sensitive normalizer removed by construction.
+
+    Scale shape per round: two edge-list equi-joins + two map-side-
+    combinable sum aggregations + two single-row max aggregations
+    (tree-reduced, broadcast back as a 1-row frame — NOT a global
+    window). Hub skew: a celebrity entity's million in-edges partial-sum
+    map-side. localCheckpoint per round keeps lineage flat.
+    """
+    e = (
+        id_triples.select(F.col("h").alias("src"), F.col("t").alias("dst"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("auth", F.lit(1.0))
+    for _ in range(rounds):
+        ar = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("_v"))
+        )
+        ar = nodes.join(ar, "node", "left").select(
+            "node", F.coalesce("_v", F.lit(0.0)).alias("_v")
+        )
+        am = ar.agg(F.max("_v").alias("_m"))
+        auth = ar.crossJoin(F.broadcast(am)).select(
+            "node", (F.col("_v") / F.col("_m")).alias("auth")
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+        hr = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("_v"))
+        )
+        hr = nodes.join(hr, "node", "left").select(
+            "node", F.coalesce("_v", F.lit(0.0)).alias("_v")
+        )
+        hm = hr.agg(F.max("_v").alias("_m"))
+        hub = hr.crossJoin(F.broadcast(hm)).select(
+            "node", (F.col("_v") / F.col("_m")).alias("hub")
+        )
+        if checkpoint:
+            hub = hub.localCheckpoint(eager=True)
+    return auth.join(hub, "node").select(
+        "node",
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )

@@ -140,3 +140,57 @@ SELECT COUNT(*) AS n_extracted, COUNT(*) AS n_gold, COUNT(*) AS tp,
        ROUND(CAST(1.0 AS DOUBLE), 6) AS f1
 FROM gold
 """
+
+
+# non-media gazetteer surface universe (corpus.gazetteer minus media://)
+_SURFACES = """
+surfaces AS (
+  SELECT DISTINCT surface FROM (
+    SELECT 'Customer#' || c_custkey AS surface FROM customer
+    UNION ALL SELECT 'CUST-' || c_custkey FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL SELECT 'CustomerAlt#' || c_custkey FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL SELECT 'Supplier#' || s_suppkey FROM supplier
+    UNION ALL SELECT 'SUPP_' || s_suppkey FROM supplier WHERE s_suppkey % 5 = 0
+    UNION ALL SELECT 'Part#' || p_partkey FROM part
+    UNION ALL SELECT 'O' || o_orderkey FROM orders
+    UNION ALL SELECT 'N' || n_nationkey FROM nation
+    UNION ALL SELECT 'R' || r_regionkey FROM region
+  ) s
+)
+"""
+
+
+def kg_er_candidates_sql(tau: float = 0.4, max_block: int = 50) -> str:
+    """Twin of extract.blocking.er_blocking_candidates over the non-media
+    gazetteer surfaces: digit-key blocking (4-char-prefix fallback),
+    block-size cap, trigram-Jaccard verify."""
+    return f"""
+WITH {_SURFACES.strip()},
+d AS MATERIALIZED (
+  SELECT surface AS name, key,
+         CASE WHEN len(norm) >= 3 THEN
+           list_distinct(list_transform(range(1, len(norm) - 1),
+                                        i -> substr(norm, i, 3)))
+         ELSE [norm] END AS g
+  FROM (
+    SELECT surface, norm,
+           CASE WHEN digits <> '' THEN digits
+                ELSE substr(norm, 1, 4) END AS key
+    FROM (
+      SELECT surface,
+             regexp_replace(lower(surface), '[^a-z0-9]', '', 'g') AS norm,
+             regexp_replace(regexp_replace(lower(surface), '[^a-z0-9]', '', 'g'),
+                            '[^0-9]', '', 'g') AS digits
+      FROM surfaces
+    )
+  )
+),
+ok AS (SELECT key FROM d GROUP BY key HAVING COUNT(*) <= {max_block}),
+db AS MATERIALIZED (SELECT d.* FROM d JOIN ok ON ok.key = d.key)
+SELECT a.name AS a, b.name AS b,
+       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))), 6) AS sim
+FROM db a JOIN db b ON a.key = b.key AND a.name < b.name
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.g, b.g))) >= {tau}
+"""

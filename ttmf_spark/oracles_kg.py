@@ -454,3 +454,84 @@ FROM s a JOIN s b ON b.h = a.t
 GROUP BY 1, 2, 3, 4
 HAVING SUM({scale} // (a.n * b.n)) >= {int(min_resource * scale)}
 """
+
+
+def kg_hits_sql(rounds: int = 8) -> str:
+    """Twin of graph.hits(rounds=rounds): the mutual auth/hub recurrence
+    unrolled round by round. Max-normalization (not L2) keeps the
+    normalizer permutation-invariant; the update sums are the same
+    float64 recurrence on both engines (~1e-14 agreement, ROUND(.,6)
+    hashes identically — the kg_pagerank_fixed portability contract)."""
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT h AS src, t AS dst FROM idt)",
+        "n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "hb0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM n)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"ar{i} AS (SELECT n.node, COALESCE(s.v, CAST(0.0 AS DOUBLE)) AS v "
+            f"FROM n LEFT JOIN (SELECT e.dst AS node, SUM(h.hub) AS v "
+            f"FROM e JOIN hb{i - 1} h ON h.node = e.src GROUP BY e.dst) s "
+            f"ON s.node = n.node)"
+        )
+        parts.append(
+            f"au{i} AS MATERIALIZED (SELECT node, v / m AS auth FROM ar{i}, "
+            f"(SELECT MAX(v) AS m FROM ar{i}))"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT n.node, COALESCE(s.v, CAST(0.0 AS DOUBLE)) AS v "
+            f"FROM n LEFT JOIN (SELECT e.src AS node, SUM(a.auth) AS v "
+            f"FROM e JOIN au{i} a ON a.node = e.dst GROUP BY e.src) s "
+            f"ON s.node = n.node)"
+        )
+        parts.append(
+            f"hb{i} AS MATERIALIZED (SELECT node, v / m AS hub FROM hr{i}, "
+            f"(SELECT MAX(v) AS m FROM hr{i}))"
+        )
+    return (
+        f"WITH {KG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
+        f"SELECT a.node, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub "
+        f"FROM au{rounds} a JOIN hb{rounds} h ON h.node = a.node"
+    )
+
+
+def kg_walks_sql(
+    walks_per_node: int = 2, length: int = 5, seed: int = 628
+) -> str:
+    """Twin of walks.random_walks: the step recurrence unrolled one CTE
+    per hop. The next-node draw is the identical md5-of-'|'-joined-key
+    60-bit integer modulo out-degree, indexed into the same
+    (src, idx)-keyed neighbor list (idx = per-src row_number over dst
+    order), so both engines walk byte-identical sentences."""
+    draw = (
+        "('0x' || substr(md5('{seed}|' || CAST(w.node AS VARCHAR) || '|' "
+        "|| CAST(w.walk AS VARCHAR) || '|{step}'), 1, 15))::BIGINT"
+    )
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT h AS src, t AS dst FROM idt)",
+        "nbr AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM e)",
+        "dg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"w0 AS (SELECT node, wk.walk, node AS cur, "
+        f"CAST(node AS VARCHAR) AS sent, CAST(1 AS BIGINT) AS n_nodes "
+        f"FROM n CROSS JOIN (SELECT UNNEST(range({walks_per_node})) AS walk) wk)",
+    ]
+    for i in range(1, length):
+        k = draw.format(seed=seed, step=i)
+        parts.append(
+            f"w{i} AS MATERIALIZED ("
+            f"SELECT w.node, w.walk, nb.dst AS cur, "
+            f"CASE WHEN nb.dst IS NOT NULL THEN w.sent || ' ' || "
+            f"CAST(nb.dst AS VARCHAR) ELSE w.sent END AS sent, "
+            f"w.n_nodes + CASE WHEN nb.dst IS NOT NULL THEN 1 ELSE 0 END "
+            f"AS n_nodes "
+            f"FROM w{i - 1} w "
+            f"LEFT JOIN dg ON dg.src = w.cur "
+            f"LEFT JOIN nbr nb ON nb.src = w.cur "
+            f"AND nb.idx = {k} % dg.deg)"
+        )
+    return (
+        f"WITH {KG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
+        f"SELECT node, walk, sent, n_nodes FROM w{length - 1}"
+    )

@@ -346,6 +346,42 @@ def q_kg_path_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pcra_path_reliability(idt, max_out=1000, min_resource=0.01)
 
 
+def q_kg_er_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking over the non-media gazetteer surfaces
+    (extract.blocking.er_blocking_candidates): digit-key blocks with a
+    size cap, char-trigram Jaccard verify — the candidate-same_as
+    discovery pass a construction pipeline runs when the alias table is
+    incomplete (here it IS complete, so this audits candidate quality)."""
+    from ttmf_spark.extract.blocking import er_blocking_candidates
+
+    surf = (
+        corpus.gazetteer(spark, sf_dir)
+        .filter(~F.col("surface").startswith("media://"))
+        .select("surface")
+    )
+    return er_blocking_candidates(surf, tau=0.4, max_block=50)
+
+
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities at exactly 8 max-normalized iterations
+    (graph.hits) — the spectral ranking next to kg_pagerank; unrolled-CTE
+    DuckDB twin gates the mutual recurrence round for round."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.hits(idt, rounds=8)
+
+
+def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style truncated random-walk corpus (kg.walks.random_walks):
+    2 walks x 5 nodes per entity, deterministic md5 draws indexed into a
+    per-node neighbor list — the skip-gram sentence generator over the
+    constructed KG; unrolled-CTE DuckDB twin replays the identical
+    recurrence."""
+    from ttmf_spark.kg import walks
+
+    idt, _ = _id_triples(spark, sf_dir)
+    return walks.random_walks(idt, walks_per_node=2, length=5, seed=628)
+
+
 def q_kg_dev_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 dev hinge loss (TransE.java:357-380): the REAL
     transe.dev_hinge_loss operator (pair self-join on the N1 seq key +
