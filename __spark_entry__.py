@@ -56,6 +56,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": Q.q_kg_communities,
         "kg_hits": Q.q_kg_hits,
         "kg_walks": Q.q_kg_walks,
+        "kg_walk_pairs": Q.q_kg_walk_pairs,
+        "emb_pq_codes": Q.q_emb_pq_codes,
+        "emb_pq_topk": Q.q_emb_pq_topk,
+        "emb_pq_recall": Q.q_emb_pq_recall,
         "kg_er_candidates": Q.q_kg_er_candidates,
         "kg_path_reliability": Q.q_kg_path_reliability,
         "kg_dev_loss": Q.q_kg_dev_loss,
@@ -136,6 +140,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": oracles_kg.kg_communities_sql(),
         "kg_hits": oracles_kg.kg_hits_sql(),
         "kg_walks": oracles_kg.kg_walks_sql(),
+        "kg_walk_pairs": oracles_kg.kg_walk_pairs_sql(),
+        "emb_pq_codes": oracles_docs.emb_pq_codes_sql(),
+        "emb_pq_topk": oracles_docs.emb_pq_topk_sql(),
+        "emb_pq_recall": oracles_docs.emb_pq_recall_sql(),
         "kg_er_candidates": oracles.kg_er_candidates_sql(),
         "kg_path_reliability": oracles_kg.kg_path_reliability_sql(),
         "kg_dev_loss": oracles_eval.kg_dev_loss_sql(),

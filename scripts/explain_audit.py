@@ -374,11 +374,44 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # PQ assignment: subvector explode (x m, narrow) + broadcast hash
+    # join on the subspace id + map-side-combinable struct-min argmin
+    audit(
+        "emb_pq_codes",
+        Q.q_emb_pq_codes(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # PQ ADC top-k: code-table scan x broadcast query distance tables on
+    # the (sub, code) key; integer-sum collapse + per-query top-k window
+    audit(
+        "emb_pq_topk",
+        Q.q_emb_pq_topk(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     # Random walks: per step two one-row-per-walk equi-joins (degree draw
     # + indexed neighbor lookup); the neighbor index is a PER-KEY window
     audit(
         "kg_walks",
         Q.q_kg_walks(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # Skip-gram pairs: per-walk band self-join (bounded 2*window*L rows
+    # per sentence) + one map-side-combinable pair-count agg
+    audit(
+        "kg_walk_pairs",
+        Q.q_kg_walk_pairs(spark, sf_dir),
         out,
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "MapInPandas", "BatchEvalPython",

@@ -564,3 +564,40 @@ def test_segment_dup_stats_planted(spark):
     assert got[2] == (2, 1, 0.5, True)
     assert got[3] == (1, 0, 0.0, True)
     assert got[4] == (2, 2, 1.0, False)  # self-repeat is still dup text
+
+
+def test_pq_codes_properties(spark):
+    """quantize.pq_codes: every vector gets exactly one code per
+    subspace, codes are in range, a row sampled INTO the codebook
+    self-assigns with qerr 0 in every subspace, and the assignment is
+    the argmin a numpy replica computes from the same codebook."""
+    from ttmf_spark.datapipe import quantize
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    m, k = 2, 4
+    cb = quantize.pq_codebook(emb, m=m, k=k, seed=5, hash_fn="md5", normalize=False)
+    got = quantize.pq_assign(emb, cb, m=m, normalize=False).collect()
+
+    per_vec = {}
+    for r in got:
+        per_vec.setdefault(r["vec_id"], {})[r["sub"]] = (r["code"], r["qerr"])
+    assert set(per_vec) == {i for i, _ in rows}
+    assert all(set(v) == {0, 1} for v in per_vec.values())
+    assert all(0 <= c < k and q >= 0 for v in per_vec.values() for c, q in v.values())
+
+    # numpy replica of the argmin against the fitted codebook
+    cbl = {(r["sub"], r["code"]): np.array(r["cw"]) for r in cb.collect()}
+    vecs = {i: np.array(v) for i, v in rows}
+    for vid, subs in per_vec.items():
+        for sub, (code, qerr) in subs.items():
+            sv = vecs[vid][sub * 4:(sub + 1) * 4]
+            dists = [float(((sv - cbl[(sub, c)]) ** 2).sum()) for c in range(k)]
+            assert code == int(np.argmin(dists))
+            assert abs(qerr - min(dists)) < 1e-6
+
+    # codebook rows self-assign at zero error: find a sampled vec by
+    # matching a codeword to its source subvector
+    zero_rows = [r for r in got if r["qerr"] == 0.0]
+    assert len(zero_rows) >= k  # every sampled row is exact in its subspace

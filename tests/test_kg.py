@@ -717,3 +717,20 @@ def test_random_walks_hand_graph(spark):
         for r in W.random_walks(idt, walks_per_node=2, length=4, seed=9).collect()
     }
     assert again == got
+
+
+def test_skipgram_pairs_window(spark):
+    """skipgram_pairs on one fixed sentence: exact window-2 pair counts."""
+    from ttmf_spark.kg import walks as W
+
+    w = spark.createDataFrame(
+        [(1, 0, "1 2 3 2", 4)], ["node", "walk", "sent", "n_nodes"]
+    )
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in W.skipgram_pairs(w, window=2).collect()}
+    # positions: 1@0 2@1 3@2 2@3; |i-j|<=2 directional pairs
+    assert got[(1, 2)] == 1 and got[(2, 1)] == 1      # (0,1) only
+    assert got[(1, 3)] == 1 and got[(3, 1)] == 1      # (0,2)
+    assert got[(2, 3)] == 2 and got[(3, 2)] == 2      # (1,2) and (3,2)
+    assert got[(2, 2)] == 2                            # (1,3) both ways
+    assert (1, 2) in got and (2, 2) in got and len(got) == 7

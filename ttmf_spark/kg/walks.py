@@ -131,3 +131,47 @@ def random_walks(
         )
         w = stepped.localCheckpoint(eager=True) if checkpoint else stepped
     return w.select("node", "walk", "sent", "n_nodes")
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """(center, context, n_pairs): aggregated skip-gram co-occurrence
+    counts over the walk corpus — the training-pair generator between
+    random_walks and a word2vec-style embedding fit (Mikolov 2013;
+    DeepWalk trains skip-gram on exactly these pairs).
+
+    Each walk sentence contributes (w[i], w[j]) for all 0 < |i - j| <=
+    ``window``; pairs are directional (center, context) like word2vec's.
+
+    Scale shape: posexplode the (short, bounded-length) sentence into
+    (pos, node) rows, self-join per walk key on a bounded position-band
+    — each sentence of length L emits at most 2*window*L rows — then
+    one count aggregation keyed by the pair. The join key is the walk
+    id, so co-location is per-walk (uniform by construction: every walk
+    has the same bounded length); the final groupBy is the only
+    corpus-wide shuffle and it moves (center, context, partial-count)
+    triples that map-side combine.
+    """
+    toks = walks.select(
+        "node",
+        "walk",
+        F.posexplode(F.split("sent", " ")).alias("pos", "tok"),
+    ).select(
+        "node", "walk", "pos", F.col("tok").cast("long").alias("tok")
+    )
+    a = toks.select(
+        "node", "walk", F.col("pos").alias("pa"), F.col("tok").alias("center")
+    )
+    b = toks.select(
+        "node", "walk", F.col("pos").alias("pb"), F.col("tok").alias("context")
+    )
+    return (
+        a.join(b, ["node", "walk"])
+        .filter(
+            (F.col("pa") != F.col("pb"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -838,3 +838,130 @@ SELECT s.doc_id,
 FROM segs s JOIN gc USING (h)
 GROUP BY 1
 """
+
+
+def _pq_parts(m: int = 16, k: int = 32, seed: int = 11, dim: int = 64):
+    """Shared PQ CTE parts (u, cb, dist, md) + the per-sub slice CASE —
+    used by both emb_pq_codes_sql and emb_pq_topk_sql."""
+    dlen = dim // m
+    cbs = []
+    for j in range(m):
+        a, b = j * dlen + 1, (j + 1) * dlen
+        cbs.append(
+            f"SELECT {j} AS sub, "
+            f"ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, "
+            f"v[{a}:{b}] AS cw FROM ("
+            f"SELECT vec_id, v, ('0x' || substr(md5('{seed + j}' || "
+            f"CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+            f"FROM u ORDER BY h, vec_id LIMIT {k})"
+        )
+    sv_cases = " ".join(
+        f"WHEN cb.sub = {j} THEN t.v[{j * dlen + 1}:{(j + 1) * dlen}]"
+        for j in range(m)
+    )
+    sq = (
+        f"list_sum(list_transform(range(1, {dlen} + 1), "
+        f"i -> (sv[i] - cb.cw[i]) * (sv[i] - cb.cw[i])))"
+    )
+    parts = f"""
+u AS (SELECT vec_id,
+           CASE WHEN nrm > 0 THEN list_transform(vr, x -> x / nrm)
+                ELSE vr END AS v
+      FROM (SELECT vec_id, vr,
+                   sqrt(list_sum(list_transform(vr, x -> x * x))) AS nrm
+            FROM (SELECT vec_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS vr
+                  FROM embeddings) a) b),
+cb AS MATERIALIZED ({' UNION ALL '.join(cbs)}),
+dist AS MATERIALIZED (
+  SELECT t.vec_id, cb.sub, cb.code, {sq} AS d
+  FROM u t CROSS JOIN cb
+  CROSS JOIN LATERAL (SELECT CASE {sv_cases} END AS sv) s
+),
+md AS (SELECT vec_id, sub, MIN(d) AS md FROM dist GROUP BY vec_id, sub)
+"""
+    return parts.strip(), sv_cases, sq
+
+
+def emb_pq_codes_sql(m: int = 16, k: int = 32, seed: int = 11, dim: int = 64) -> str:
+    """Twin of quantize.pq_codes (md5 hash mode): per-subspace codebook =
+    k rows with the smallest md5 hash (ties by id), assignment = min
+    squared-L2 with min-code tie-break, all over the UNIT-NORMALIZED
+    vectors (cosine-consistent: unit-space L2^2 = 2 - 2cos). Distances are per-row sequential
+    float folds on both engines; qerr ROUND(.,6) lands inside the gate's
+    2e-6 comparator."""
+    parts, _, _ = _pq_parts(m, k, seed, dim)
+    return f"""
+WITH {parts}
+SELECT d.vec_id, CAST(d.sub AS INT) AS sub, CAST(MIN(d.code) AS INT) AS code,
+       ROUND(MIN(d.d), 6) AS qerr
+FROM dist d JOIN md ON md.vec_id = d.vec_id AND md.sub = d.sub AND d.d = md.md
+GROUP BY d.vec_id, d.sub
+"""
+
+
+def emb_pq_topk_sql(
+    m: int = 16,
+    k_codes: int = 32,
+    k: int = 5,
+    seed: int = 11,
+    dim: int = 64,
+    query_mod: int = 50,
+) -> str:
+    """Twin of quantize.pq_topk: ADC ranking over the PQ code table.
+    Per-entry query->codeword distances become 1e-9 fixed-point BIGINTs
+    before the cross-row sum, so ranking is permutation-invariant and
+    engine-exact (the PCRA integer-sum contract)."""
+    parts, sv_cases, sq = _pq_parts(m, k_codes, seed, dim)
+    return f"""
+WITH {parts},
+codes AS MATERIALIZED (
+  SELECT d.vec_id AS neighbor_id, d.sub, MIN(d.code) AS code
+  FROM dist d JOIN md ON md.vec_id = d.vec_id AND md.sub = d.sub AND d.d = md.md
+  GROUP BY d.vec_id, d.sub
+),
+qd AS MATERIALIZED (
+  SELECT t.vec_id AS query_id, cb.sub, cb.code,
+         CAST(ROUND({sq} * 1e9) AS BIGINT) AS d_int
+  FROM u t CROSS JOIN cb
+  CROSS JOIN LATERAL (SELECT CASE {sv_cases} END AS sv) s
+  WHERE t.vec_id % {query_mod} = 0
+),
+agg AS (
+  SELECT qd.query_id, c.neighbor_id, SUM(qd.d_int) AS di
+  FROM codes c JOIN qd ON qd.sub = c.sub AND qd.code = c.code
+  WHERE c.neighbor_id <> qd.query_id
+  GROUP BY qd.query_id, c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, di,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY di ASC, neighbor_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(di / 1e9, 6) AS adist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def emb_pq_recall_sql(k: int = 5, query_mod: int = 50) -> str:
+    """Twin of similarity.ann_recall(pq_topk, brute_force_topk) — but
+    both sides rank the cosine neighborhood (PQ runs on unit vectors, so
+    ADC distance estimates 2 - 2cos); recall@k reports how much of it
+    the compression preserves — the trust gate before swapping the
+    exact scan for the code scan."""
+    return f"""
+WITH b AS ({emb_topk_sql(k, query_mod)}),
+l AS ({emb_pq_topk_sql(k=k, query_mod=query_mod)}),
+hits AS (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM b JOIN l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / {float(k)}, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM b) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""

@@ -535,3 +535,28 @@ def kg_walks_sql(
         f"WITH {KG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
         f"SELECT node, walk, sent, n_nodes FROM w{length - 1}"
     )
+
+
+def kg_walk_pairs_sql(
+    walks_per_node: int = 2,
+    length: int = 5,
+    seed: int = 628,
+    window: int = 2,
+) -> str:
+    """Twin of walks.skipgram_pairs over walks.random_walks: tokenize the
+    walk sentences, band self-join on position distance, count pairs."""
+    return f"""
+WITH w AS ({kg_walks_sql(walks_per_node, length, seed)}),
+toks AS (
+  SELECT node, walk, t.pos - 1 AS pos, CAST(t.tok AS BIGINT) AS tok
+  FROM w, LATERAL (
+    SELECT UNNEST(string_split(sent, ' ')) AS tok,
+           UNNEST(generate_series(1, len(string_split(sent, ' ')))) AS pos
+  ) t
+)
+SELECT a.tok AS center, b.tok AS context, COUNT(*) AS n_pairs
+FROM toks a JOIN toks b
+  ON a.node = b.node AND a.walk = b.walk
+ AND a.pos <> b.pos AND ABS(a.pos - b.pos) <= {window}
+GROUP BY a.tok, b.tok
+"""
