@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": Q.q_emb_pq_codes,
         "emb_pq_topk": Q.q_emb_pq_topk,
         "emb_pq_recall": Q.q_emb_pq_recall,
+        "emb_ivfpq_topk": Q.q_emb_ivfpq_topk,
         "kg_er_candidates": Q.q_kg_er_candidates,
         "kg_path_reliability": Q.q_kg_path_reliability,
         "kg_dev_loss": Q.q_kg_dev_loss,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_codes": oracles_docs.emb_pq_codes_sql(),
         "emb_pq_topk": oracles_docs.emb_pq_topk_sql(),
         "emb_pq_recall": oracles_docs.emb_pq_recall_sql(),
+        "emb_ivfpq_topk": oracles_docs.emb_ivfpq_topk_sql(),
         "kg_er_candidates": oracles.kg_er_candidates_sql(),
         "kg_path_reliability": oracles_kg.kg_path_reliability_sql(),
         "kg_dev_loss": oracles_eval.kg_dev_loss_sql(),

@@ -396,6 +396,16 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # IVF-PQ: cell equi-join prune + codes x broadcast query tables; the
+    # centroid assignment is a deliberate tiny-table BNLJ (as in ivf_topk)
+    audit(
+        "emb_ivfpq_topk",
+        Q.q_emb_ivfpq_topk(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     # Random walks: per step two one-row-per-walk equi-joins (degree draw
     # + indexed neighbor lookup); the neighbor index is a PER-KEY window
     audit(

@@ -235,6 +235,106 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 16,
+    k_codes: int = 32,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+    ivf_seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN path — IVF prunes (only
+    ``n_probe`` cells of codes are scanned per query), PQ compresses
+    (candidates are ranked by ADC over codes, vectors never touched
+    after indexing). (query_id, neighbor_id, rank, adist).
+
+    This variant quantizes the raw unit vectors within cells (IVF-Flat
+    cell layout + PQ codes); classic IVFADC quantizes per-cell RESIDUALS
+    v - centroid(cell) for finer codes — the same plumbing with one
+    zip_with subtraction before pq_assign, left to the production path
+    (like ivf_refine) because residual codebooks need Lloyd refinement
+    to pay off.
+
+    Scale shape: cells and codes are both per-vector narrow frames
+    keyed by id; the probe join is codes-for-candidates x broadcast
+    (query cell list + query distance tables). Per query the scan cost
+    drops from |corpus| to |probed cells| — the IVF pruning — and each
+    candidate costs m integer lookups — the PQ compression.
+    """
+    # normalize ONCE: the ivf side consumes the same unit vectors the PQ
+    # side quantizes (ivf_centroids re-normalizing a unit vector would
+    # perturb last bits and desync the oracle)
+    raw_corpus, raw_queries = corpus, queries
+    corpus = _prep(raw_corpus, id_col, vec_col, normalize=True)
+    queries = _prep(raw_queries, id_col, vec_col, normalize=True)
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    dlen = dim // m
+    cb = pq_codebook(
+        corpus, m, k_codes, seed, id_col, vec_col, hash_fn, normalize=False
+    )
+    cb = cb.localCheckpoint(eager=True)
+    codes = pq_assign(
+        corpus, cb, m, id_col, vec_col, normalize=False
+    ).select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
+    qe = _explode_subs(queries, m, dlen, id_col, vec_col, "query_id")
+    qtab = (
+        qe.join(F.broadcast(cb), "sub")
+        .withColumn("d_int", F.round(_sq_l2() * F.lit(1e9)).cast("long"))
+        .select("query_id", "sub", "code", "d_int")
+    )
+
+    from ttmf_spark.datapipe.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(
+        raw_corpus, n_cells, ivf_seed, id_col, vec_col, hash_fn
+    ).localCheckpoint(eager=True)
+    cu = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("_unit"),
+    )
+    c_cells = ivf_assign(cu, cents, "neighbor_id").select(
+        "neighbor_id", "cell"
+    )
+    qu = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_unit")
+    )
+    q_cells = ivf_assign(qu, cents, "query_id", n_best=n_probe).select(
+        "query_id", "cell"
+    )
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    agg = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_int").alias("_di"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_di").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_di") / F.lit(1e9), 6).alias("adist"),
+        )
+    )
+
+
 def pq_codes(
     corpus: DataFrame,
     m: int = 16,

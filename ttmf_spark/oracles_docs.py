@@ -965,3 +965,81 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM b) q
 LEFT JOIN hits h ON h.query_id = q.query_id
 """
+
+
+def emb_ivfpq_topk_sql(
+    m: int = 16,
+    k_codes: int = 32,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+    ivf_seed: int = 7,
+    dim: int = 64,
+    query_mod: int = 50,
+) -> str:
+    """Twin of quantize.ivfpq_topk: IVF cell pruning (hash-sampled
+    centroids, rounded-cosine assignment, lower-cell tie-break — the
+    emb_ivf_topk_sql rules) composed with ADC ranking over the PQ codes
+    (the emb_pq_topk_sql integer-sum contract), all on ONE shared
+    unit-vector CTE so neither side re-normalizes."""
+    parts, sv_cases, sq = _pq_parts(m, k_codes, seed, dim)
+    h = _md5h(f"'{ivf_seed}' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {parts},
+codes AS MATERIALIZED (
+  SELECT d.vec_id AS neighbor_id, d.sub, MIN(d.code) AS code
+  FROM dist d JOIN md ON md.vec_id = d.vec_id AND md.sub = d.sub AND d.d = md.md
+  GROUP BY d.vec_id, d.sub
+),
+qd AS MATERIALIZED (
+  SELECT t.vec_id AS query_id, cb.sub, cb.code,
+         CAST(ROUND({sq} * 1e9) AS BIGINT) AS d_int
+  FROM u t CROSS JOIN cb
+  CROSS JOIN LATERAL (SELECT CASE {sv_cases} END AS sv) s
+  WHERE t.vec_id % {query_mod} = 0
+),
+cents AS (
+  SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cell
+  FROM u ORDER BY {h}, vec_id LIMIT {n_cells}
+),
+cassign AS (
+  SELECT vec_id AS neighbor_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(v, cv), 6) DESC, cell ASC
+         ) AS rn
+  FROM u, cents
+),
+cidx AS (SELECT neighbor_id, cell FROM cassign WHERE rn = 1),
+qassign AS (
+  SELECT vec_id AS query_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(v, cv), 6) DESC, cell ASC
+         ) AS rn
+  FROM u, cents WHERE vec_id % {query_mod} = 0
+),
+qidx AS (SELECT query_id, cell FROM qassign WHERE rn <= {n_probe}),
+cand AS (
+  SELECT qidx.query_id, cidx.neighbor_id
+  FROM cidx JOIN qidx USING (cell)
+  WHERE cidx.neighbor_id <> qidx.query_id
+),
+agg AS (
+  SELECT c.query_id, c.neighbor_id, SUM(qd.d_int) AS di
+  FROM cand c
+  JOIN codes co ON co.neighbor_id = c.neighbor_id
+  JOIN qd ON qd.query_id = c.query_id AND qd.sub = co.sub AND qd.code = co.code
+  GROUP BY c.query_id, c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, di,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY di ASC, neighbor_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(di / 1e9, 6) AS adist
+FROM ranked WHERE rank <= {k}
+"""

@@ -852,6 +852,21 @@ def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (quantize.ivfpq_topk): IVF prunes to 4 probed
+    cells per query, PQ's ADC ranks the survivors as codes — the actual
+    billion-scale serving path the emb_pq_topk docstring promises; same
+    md5/fixed-point portability contracts as its two halves."""
+    from ttmf_spark.datapipe import quantize
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return quantize.ivfpq_topk(
+        emb, queries, m=16, k_codes=32, k=5, n_cells=16, n_probe=4,
+        hash_fn="md5",
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), tau=0.4)
 
