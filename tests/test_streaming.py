@@ -122,3 +122,36 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
 
     fp_all = with_fingerprint(docs).select("doc_id", "fingerprint")
     assert got.join(fp_all, ["doc_id", "fingerprint"]).count() == got.count()
+
+
+def test_near_dup_stream_matches_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup over two file drops == the batch
+    minhash_lsh_pairs pair set on the same corpus (same tau/k/bands),
+    with no duplicate pair appends across batches."""
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.datapipe import dedup
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    in_dir = str(tmp_path / "nd_in")
+    pairs = str(tmp_path / "nd_pairs")
+    index = str(tmp_path / "nd_index")
+    ck = str(tmp_path / "nd_ck")
+
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    docs.filter(half).write.mode("overwrite").parquet(in_dir)
+    q = streaming.near_dup_stream(spark, in_dir, pairs, index, ck, tau=0.5)
+    q.awaitTermination(300)
+
+    docs.filter(~half).write.mode("append").parquet(in_dir)
+    q = streaming.near_dup_stream(spark, in_dir, pairs, index, ck, tau=0.5)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(pairs)
+    batch = dedup.minhash_lsh_pairs(docs, tau=0.5)
+    g = {(r["a"], r["b"], r["jaccard"]) for r in got.collect()}
+    b = {(r["a"], r["b"], r["jaccard"]) for r in batch.collect()}
+    assert got.count() == len(g)  # no duplicate appends
+    assert g == b
+    # the index sink carries bands rows per doc
+    assert spark.read.parquet(index).count() == docs.count() * 16

@@ -184,9 +184,8 @@ def minhash_signatures(
     return agg.select(id_col, F.array(*[f"_m{i}" for i in range(k)]).alias("sig"))
 
 
-def minhash_lsh_pairs(
+def minhash_buckets(
     docs: DataFrame,
-    tau: float = 0.8,
     k: int = 64,
     bands: int = 16,
     n: int = 3,
@@ -194,12 +193,15 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Approximate near-dup pairs: banded minhash bucket join + exact
-    Jaccard verification of the candidates. r = k/bands rows per band."""
+    """(doc_id, band, bucket): the banded-LSH index rows for each doc —
+    r = k/bands signature entries hashed per band. Per-doc independent
+    (no cross-doc state), which is what lets the streaming path index
+    each micro-batch with the identical code (streaming.near_dup_stream)
+    and accumulate the rows as the index sink."""
     assert k % bands == 0
     r = k // bands
     sig = minhash_signatures(docs, k, n, text_col, id_col, hash_fn)
-    bucketed = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -217,6 +219,21 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    tau: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Approximate near-dup pairs: banded minhash bucket join + exact
+    Jaccard verification of the candidates. r = k/bands rows per band."""
+    bucketed = minhash_buckets(docs, k, bands, n, text_col, id_col, hash_fn)
     ca = bucketed.select(F.col(id_col).alias("a"), "band", "bucket")
     cb = bucketed.select(F.col(id_col).alias("b"), "band", "bucket")
     cand = (
@@ -226,6 +243,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify on candidates only
+    return verify_jaccard(docs, cand, tau, n, text_col, id_col)
+
+
+def verify_jaccard(
+    docs: DataFrame,
+    cand: DataFrame,
+    tau: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over candidate (a, b) pairs only — the verification
+    half shared by the batch LSH path and streaming.near_dup_stream. The
+    re-shingle is a narrow recompute bounded by the candidate set."""
     sh = shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("a"), "shingle")

@@ -348,3 +348,102 @@ def dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def near_dup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    pairs_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    tau: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    trigger_once: bool = True,
+):
+    """Streaming MinHash-LSH near-dup: as document files land, index each
+    micro-batch with the SAME banded-LSH code as the batch path
+    (dedup.minhash_buckets) and emit verified near-dup pairs against
+    everything seen so far — the incremental twin of
+    dedup.minhash_lsh_pairs, converging to the identical pair set
+    (pinned by test_streaming_near_dup_matches_batch).
+
+    Per micro-batch:
+      1. band-bucket rows for the new docs (per-doc independent, so a
+         subset yields identical rows to the full-corpus run);
+      2. candidates = new-vs-new (within batch) + new-vs-history (join
+         against the accumulated index sink on (band, bucket));
+      3. exact-Jaccard verify (dedup.verify_jaccard) — old-doc text is
+         re-read from the landed files pruned to candidate ids, the
+         streaming analogue of the batch path's narrow re-shingle;
+      4. append verified pairs; append the batch's index rows.
+
+    Exactly-once: the file-source checkpoint processes each file once,
+    and every emitted pair contains >= 1 doc from the current batch, so
+    pairs can never repeat across batches (new-new and new-old by
+    construction; old-old pairs were emitted when the younger doc
+    arrived).
+
+    Scale shape: state is the (doc_id, band, bucket) index — bands rows
+    of ~24 bytes per doc, hash-partitionable by bucket; the history join
+    touches only matching buckets. Production swaps the parquet index
+    dir for an Iceberg table bucketed by (band, bucket) so the
+    new-vs-history join prunes to matching files (same upgrade path as
+    incremental_extract's sink).
+    """
+    import os
+
+    from ttmf_spark.datapipe.dedup import minhash_buckets, verify_jaccard
+
+    docs_schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sdf = spark.readStream.schema(docs_schema).parquet(input_dir)
+
+    def _index_exists() -> bool:
+        return os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        b = minhash_buckets(batch_df, k, bands, n).localCheckpoint(eager=True)
+        ca = b.select(F.col("doc_id").alias("a"), "band", "bucket")
+        cb = b.select(F.col("doc_id").alias("b"), "band", "bucket")
+        cand = (
+            ca.join(cb, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        if _index_exists():
+            hist = spark.read.parquet(index_dir)
+            hb = hist.select(F.col("doc_id").alias("h"), "band", "bucket")
+            nb = b.select(F.col("doc_id").alias("d"), "band", "bucket")
+            mixed = (
+                nb.join(hb, ["band", "bucket"])
+                .select(
+                    F.least("d", "h").alias("a"),
+                    F.greatest("d", "h").alias("b"),
+                )
+            )
+            cand = cand.unionByName(mixed)
+        cand = cand.distinct().localCheckpoint(eager=True)
+        # candidate-pruned text re-read over everything landed so far
+        ids = cand.select(F.col("a").alias("doc_id")).unionByName(
+            cand.select(F.col("b").alias("doc_id"))
+        ).distinct()
+        texts = (
+            spark.read.schema(docs_schema)
+            .parquet(input_dir)
+            .join(ids, "doc_id", "left_semi")
+        )
+        verified = verify_jaccard(texts, cand, tau, n)
+        verified.write.mode("append").parquet(pairs_dir)
+        b.write.mode("append").parquet(index_dir)
+
+    return (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
