@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": Q.q_kg_hits,
         "kg_walks": Q.q_kg_walks,
         "kg_walk_pairs": Q.q_kg_walk_pairs,
+        "doc_kmv_distinct": Q.q_doc_kmv_distinct,
         "emb_pq_codes": Q.q_emb_pq_codes,
         "emb_pq_topk": Q.q_emb_pq_topk,
         "emb_pq_recall": Q.q_emb_pq_recall,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": oracles_kg.kg_hits_sql(),
         "kg_walks": oracles_kg.kg_walks_sql(),
         "kg_walk_pairs": oracles_kg.kg_walk_pairs_sql(),
+        "doc_kmv_distinct": oracles_docs.doc_kmv_distinct_sql(),
         "emb_pq_codes": oracles_docs.emb_pq_codes_sql(),
         "emb_pq_topk": oracles_docs.emb_pq_topk_sql(),
         "emb_pq_recall": oracles_docs.emb_pq_recall_sql(),

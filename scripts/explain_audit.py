@@ -396,6 +396,17 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # KMV sketch: distinct + two-phase bounded top-k (salt-bucket then
+    # per-source) — per-key windows only, no global sort
+    audit(
+        "doc_kmv_distinct",
+        Q.q_doc_kmv_distinct(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     # IVF-PQ: cell equi-join prune + codes x broadcast query tables; the
     # centroid assignment is a deliberate tiny-table BNLJ (as in ivf_topk)
     audit(

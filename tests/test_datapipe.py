@@ -601,3 +601,28 @@ def test_pq_codes_properties(spark):
     # matching a codeword to its source subvector
     zero_rows = [r for r in got if r["qerr"] == 0.0]
     assert len(zero_rows) >= k  # every sampled row is exact in its subspace
+
+
+def test_kmv_distinct_shingles(spark):
+    """KMV sketch: exact path below k (est == n_exact, rel_err 0) and
+    estimator path above k (est within 4/sqrt(k) of truth — 4 sigma on
+    the KMV std of ~1/sqrt(k-2)); deterministic across runs."""
+    from ttmf_spark.datapipe import sketch
+
+    rows = [(i, " ".join(f"w{(i * 37 + j) % 500}" for j in range(40)),
+             "big" if i % 2 == 0 else "small")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # "small" keeps ONE doc (38 shingles, below k); "big" keeps many
+    docs = docs.filter((F.col("source") == "big") | (F.col("doc_id") == 1))
+    k = 64
+    got = {r["source"]: r for r in
+           sketch.kmv_distinct_shingles(docs, k=k, hash_fn="md5").collect()}
+    big, small = got["big"], got["small"]
+    assert small["n_exact"] < k and small["est"] == float(small["n_exact"])
+    assert small["rel_err"] == 0.0
+    assert big["n_exact"] > k
+    assert big["rel_err"] <= 4.0 / (k - 2) ** 0.5
+    again = {r["source"]: r for r in
+             sketch.kmv_distinct_shingles(docs, k=k, hash_fn="md5").collect()}
+    assert again == got

@@ -1043,3 +1043,51 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
        ROUND(di / 1e9, 6) AS adist
 FROM ranked WHERE rank <= {k}
 """
+
+
+def doc_kmv_distinct_sql(k: int = 64, n: int = 3, seed: int = 0) -> str:
+    """Twin of sketch.kmv_distinct_shingles (md5 hash mode): distinct
+    (source, word-n-gram), 60-bit md5 hashes, k-th smallest per source,
+    est = (k-1) * 2^60 / h_(k) (exact count below k). One cast + one
+    division — byte-identical, ROUND(.,6) on both engines."""
+    two60 = float(1 << 60)
+    return f"""
+WITH stoks AS (
+  SELECT source,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS l
+  FROM documents
+),
+ssh AS (
+  SELECT source, unnest(list_distinct(
+           CASE WHEN len(l) >= {n}
+                THEN [array_to_string(l[i+1:i+{n}], ' ') for i in range(0, len(l)-{n}+1)]
+                ELSE [array_to_string(l, ' ')] END)) AS tok
+  FROM stoks
+),
+toks AS MATERIALIZED (
+  SELECT DISTINCT source, tok,
+         ('0x' || substr(md5('{seed}' || tok), 1, 15))::BIGINT AS u
+  FROM ssh WHERE tok <> ''
+),
+exact AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source),
+ranked AS (
+  SELECT source, u,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, tok) AS r
+  FROM toks
+),
+sk AS (
+  SELECT source, MAX(u) AS hk, COUNT(*) AS have
+  FROM ranked WHERE r <= {k} GROUP BY source
+),
+j AS (
+  SELECT e.source, e.n_exact,
+         ROUND(CASE WHEN sk.have < {k} THEN CAST(e.n_exact AS DOUBLE)
+               ELSE {float(k - 1)} * {two60} / CAST(sk.hk AS DOUBLE)
+               END, 6) AS est
+  FROM exact e JOIN sk ON sk.source = e.source
+)
+SELECT source, n_exact, est,
+       ROUND(ABS(est - n_exact) / n_exact, 6) AS rel_err
+FROM j
+"""

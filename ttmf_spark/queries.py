@@ -818,6 +818,19 @@ def q_emb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality via a KMV sketch next to
+    the exact count (sketch.kmv_distinct_shingles) — the deterministic,
+    cross-engine-gateable alternative to HLL, with the sketch's own
+    error QA as columns (mean rel_err ~0.08 at k=64 on the synthetic
+    corpus; the exact column is what you drop at 100 TB)."""
+    from ttmf_spark.datapipe import sketch
+
+    return sketch.kmv_distinct_shingles(
+        _docs(spark, sf_dir), k=64, n=3, hash_fn="md5"
+    )
+
+
 def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes (quantize.pq_codes): 16 subspaces x 32
     hash-sampled codewords over the unit-normalized 64-dim embeddings
