@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inverse_leakage": Q.q_kg_inverse_leakage,
         "kg_kcore": Q.q_kg_kcore,
         "kg_communities": Q.q_kg_communities,
+        "kg_components": Q.q_kg_components,
         "kg_hits": Q.q_kg_hits,
         "kg_walks": Q.q_kg_walks,
         "kg_walk_pairs": Q.q_kg_walk_pairs,
@@ -110,8 +111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_recall": Q.q_emb_ivf_recall,
         "emb_classify": Q.q_emb_classify,
         "emb_classifier_eval": Q.q_emb_classifier_eval,
+        "emb_semantic_dedup": Q.q_emb_semantic_dedup,
+        "doc_length_quantiles": Q.q_doc_length_quantiles,
         # data pipeline: event streams
         "evt_sessions": Q.q_evt_sessions,
+        "evt_anomaly": Q.q_evt_anomaly,
         "evt_funnel": Q.q_evt_funnel,
         "evt_retention": Q.q_evt_retention,
         "evt_windowed": Q.q_evt_windowed,
@@ -140,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_tc_pairs": oracles_eval.kg_tc_pairs_sql(),
         "kg_kcore": oracles_kg.kg_kcore_sql(),
         "kg_communities": oracles_kg.kg_communities_sql(),
+        "kg_components": oracles_kg.kg_components_sql(),
         "kg_hits": oracles_kg.kg_hits_sql(),
         "kg_walks": oracles_kg.kg_walks_sql(),
         "kg_walk_pairs": oracles_kg.kg_walk_pairs_sql(),
@@ -197,7 +202,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_recall": oracles_docs.emb_ivf_recall_sql(),
         "emb_classify": oracles_docs.emb_classify_sql(),
         "emb_classifier_eval": oracles_docs.emb_classifier_eval_sql(),
+        "emb_semantic_dedup": oracles_docs.emb_semantic_dedup_sql(),
+        "doc_length_quantiles": oracles_docs.doc_length_quantiles_sql(),
         "evt_sessions": oracles_events.evt_sessions_sql(),
+        "evt_anomaly": oracles_events.evt_anomaly_sql(),
         "evt_funnel": oracles_events.evt_funnel_sql(),
         "evt_retention": oracles_events.evt_retention_sql(),
         "evt_windowed": oracles_events.evt_windowed_sql(),

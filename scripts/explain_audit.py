@@ -461,6 +461,52 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # connected components: audited plan is the post-convergence label
+    # join (the contraction loop localCheckpoints per round) — equi-joins
+    # only, JVM-side
+    audit(
+        "kg_components",
+        Q.q_kg_components(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # SemDeDup: centroid assignment is the deliberate tiny-table BNLJ
+    # (as in ivf_topk); the pair compare is a cell equi-join on the
+    # checkpointed assignment — never a cartesian, no Python
+    audit(
+        "emb_semantic_dedup",
+        Q.q_emb_semantic_dedup(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # length quantiles: one map-side-combinable hash agg per language —
+    # no global sort, JVM-side end to end
+    audit(
+        "doc_length_quantiles",
+        Q.q_doc_length_quantiles(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # anomaly z-scores: dim-sized stats table broadcast back onto the
+    # scan — the event table itself never shuffles
+    audit(
+        "evt_anomaly",
+        Q.q_evt_anomaly(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

@@ -626,3 +626,67 @@ def test_kmv_distinct_shingles(spark):
     again = {r["source"]: r for r in
              sketch.kmv_distinct_shingles(docs, k=k, hash_fn="md5").collect()}
     assert again == got
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """semantic_dedup on planted vectors: identical vectors in one cell
+    collapse to the lowest id; orthogonal vectors all survive; dup_of is
+    always a lower id in the same cell above tau."""
+    from ttmf_spark.datapipe import similarity as S
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),   # dup of 1
+        (3, [0.999, 0.01, 0.0, 0.0], 0),  # near-dup of 1
+        (4, [0.0, 1.0, 0.0, 0.0], 0),
+        (5, [0.0, 0.0, 1.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: (r["dup_of"], r["kept"])
+           for r in S.semantic_dedup(emb, n_cells=3, tau=0.9).collect()}
+    assert out[1] == (-1, True)
+    assert out[2][0] == 1 and not out[2][1]
+    # 3 collapses to 1 iff same cell; either way never to a higher id
+    assert out[3][0] in (-1, 1, 2)
+    assert out[4] == (-1, True) and out[5] == (-1, True)
+
+
+def test_length_quantiles_match_numpy(spark):
+    """length_quantiles equals numpy linear-interpolation percentiles."""
+    import numpy as np
+    from ttmf_spark.datapipe import textstats as T
+
+    vals = {"en": [10, 20, 30, 40, 50, 60, 61], "fr": [5, 7]}
+    rows = [(i, "x", lang, "s", n)
+            for i, (lang, ns) in enumerate(
+                (lg, n) for lg, lst in vals.items() for n in lst
+            ) for n in [ns]]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["grp"]: r for r in T.length_quantiles(docs).collect()}
+    for lang, lst in vals.items():
+        for p, col in [(25, "p25"), (50, "p50"), (75, "p75"), (95, "p95")]:
+            exp = round(float(np.percentile(lst, p)), 6)
+            assert abs(got[lang][col] - exp) < 1e-9, (lang, col)
+        assert got[lang]["n_docs"] == len(lst)
+
+
+def test_value_anomalies_planted_outlier(spark):
+    """value_anomalies flags exactly the planted spike and nothing from a
+    constant-valued (zero-variance) type."""
+    from ttmf_spark.datapipe import events as E
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [(i, ts, 1, "a", 10.0 + (i % 3) * 0.1, "{}") for i in range(20)]
+    rows.append((99, ts, 1, "a", 1000.0, "{}"))            # spike
+    rows += [(200 + i, ts, 2, "b", 5.0, "{}") for i in range(5)]  # zero var
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = E.value_anomalies(ev)
+    got = [(r["event_id"], r["event_type"]) for r in out.collect()]
+    assert got == [(99, "a")]

@@ -734,3 +734,62 @@ def test_skipgram_pairs_window(spark):
     assert got[(2, 3)] == 2 and got[(3, 2)] == 2      # (1,2) and (3,2)
     assert got[(2, 2)] == 2                            # (1,3) both ways
     assert (1, 2) in got and (2, 2) in got and len(got) == 7
+
+
+def test_components_chain_and_paths_agree(spark):
+    """graph.components on a worst-case-diameter chain plus a separate
+    triangle: distributed star contraction (driver_max_edges=0) and the
+    driver union-find shortcut must produce identical min-id labels."""
+    from ttmf_spark.kg import graph as G
+
+    chain = [(i, 0, i + 1) for i in range(100, 160)]       # 61-node path
+    tri = [(7, 0, 8), (8, 0, 9), (9, 0, 7), (5, 0, 5)]     # + self-loop node
+    idt = spark.createDataFrame(chain + tri, ["h", "r", "t"])
+    dist = {(r["node"], r["component"])
+            for r in G.components(idt, driver_max_edges=0).collect()}
+    drv = {(r["node"], r["component"])
+           for r in G.components(idt).collect()}
+    assert dist == drv
+    assert (159, 100) in dist and (8, 7) in dist and (5, 5) in dist
+
+
+def test_components_oracle_sweeps_converge_on_chain():
+    """The fixed-sweep pointer-jumping oracle must cover a diameter far
+    beyond anything the fixtures hold: a 61-node chain needs min-label
+    distance 60, reached in <= 8 doubling sweeps."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = ",".join(f"({i}, {i + 1})" for i in range(100, 160))
+    con.execute(f"CREATE VIEW e AS SELECT * FROM (VALUES {rows}) t(u, v)")
+    parts = [
+        "und AS (SELECT u AS node, v AS nbr FROM e UNION SELECT v, u FROM e)",
+        "c0 AS (SELECT node, node AS label FROM (SELECT u AS node FROM e UNION SELECT v FROM e))",
+    ]
+    for i in range(1, 9):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT l.node, LEAST(l.label,"
+            f" COALESCE(nb.m, l.label), COALESCE(j.label, l.label)) AS label"
+            f" FROM c{i-1} l LEFT JOIN (SELECT u.node AS node, MIN(x.label) AS m"
+            f" FROM und u JOIN c{i-1} x ON x.node = u.nbr GROUP BY u.node) nb"
+            f" ON nb.node = l.node LEFT JOIN c{i-1} j ON j.node = l.label)"
+        )
+    sql = "WITH " + ",\n".join(parts) + " SELECT COUNT(*) FROM c8 WHERE label <> 100"
+    assert con.execute(sql).fetchone()[0] == 0
+
+
+def test_common_neighbor_ra_bounds(spark):
+    """RA index: planted star z={1..4} around hub 0 plus a 2-path —
+    ra = sum 1/deg(z), checked by hand."""
+    from ttmf_spark.kg import graph as G
+
+    # u=10, v=11 share z=1 (deg 3: 10, 11, 12) and z=2 (deg 2: 10, 11)
+    edges = [(10, 0, 1), (11, 0, 1), (12, 0, 1), (10, 0, 2), (11, 0, 2)]
+    idt = spark.createDataFrame(edges, ["h", "r", "t"])
+    out = {(r["u"], r["v"]): (r["cn"], r["aa"], r["ra"])
+           for r in G.common_neighbor_scores(idt, max_degree=10, k=10).collect()}
+    import math
+    cn, aa, ra = out[(10, 11)]
+    assert cn == 2
+    assert abs(ra - round(1 / 3 + 1 / 2, 6)) < 1e-9
+    assert abs(aa - round(1 / math.log(3) + 1 / math.log(2), 6)) < 1e-9

@@ -189,3 +189,30 @@ def retention_cohorts(events: DataFrame, bucket_days: int = 7) -> DataFrame:
         .groupBy("cohort_start_s", "bucket_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+def value_anomalies(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
+    """Per-event-type z-score outliers: events whose |value - mean| exceeds
+    ``z_cut`` sample standard deviations of their type — the stream QA
+    pass that flags instrumentation bugs (unit changes, overflow spikes)
+    before aggregate features are trusted. Emits (event_id, event_type,
+    value, z) with z rounded to 6; types with fewer than 2 events or zero
+    variance emit nothing (z undefined).
+
+    Scale shape: one map-side-combinable (avg, stddev) aggregation over
+    the scan — the per-type stats table is dim-sized (one row per event
+    type) and broadcast back onto the stream, so the event table is read
+    once and never shuffled. The same shape holds under Structured
+    Streaming as a windowed aggregate + stream-static join.
+    """
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
+    )
+    z = F.round((F.col("value") - F.col("_mu")) / F.col("_sd"), 6)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.col("_sd") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > z_cut)
+        .select("event_id", "event_type", "value", "z")
+    )

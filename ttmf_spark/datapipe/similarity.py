@@ -427,3 +427,67 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             "recall"
         ),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    tau: float = 0.4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to its nearest IVF cell, then inside each cell mark
+    any vector whose rounded cosine to a LOWER-id cellmate reaches
+    ``tau`` as a duplicate of the smallest such id. Output one row per
+    vector: (vec_id, cell, dup_of, kept) with dup_of = -1 for keepers —
+    the keep-list a curation pipeline joins against before training.
+
+    Scale story: the quadratic compare is confined to one cell
+    (the SemDeDup design point — clustering caps the pair space), so cost
+    is sum over cells of |cell|^2, not N^2. In production n_cells grows
+    with the corpus (~N / target_cell_size, e.g. 100k cells for 10^8
+    docs) keeping |cell| constant and giving the self-join full shuffle
+    parallelism on the cell key; at fixture scale 16 cells already bound
+    the compare to ~1/16 of the cross product. Centroids are the
+    hash-sampled deterministic init (ivf_centroids) so the DuckDB twin is
+    byte-identical under hash_fn='md5'; the Lloyd-refined centroid path
+    (ivf_refine) plugs in unchanged as the rows-only production variant.
+    Same-cell misses (near-dups straddling a cell boundary) are the
+    documented SemDeDup recall trade; the sign-LSH near-dup operator
+    (embedding_near_dup_pairs) is the higher-recall alternative.
+    """
+    u = with_unit_norm(corpus, vec_col).select(id_col, "_unit")
+    cents = ivf_centroids(
+        corpus, n_cells=n_cells, seed=seed, id_col=id_col,
+        vec_col=vec_col, hash_fn=hash_fn,
+    )
+    assign = ivf_assign(u, cents, id_col, n_best=1)
+    assign = assign.localCheckpoint(eager=True)  # consumed twice below
+    a = assign.select(
+        F.col("cell"), F.col(id_col).alias("_a"), F.col("_unit").alias("_ua")
+    )
+    b = assign.select(
+        F.col("cell"), F.col(id_col).alias("_b"), F.col("_unit").alias("_ub")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("_a") < F.col("_b"))
+        .withColumn("_cos", F.round(_dot(F.col("_ua"), F.col("_ub")), 6))
+        .filter(F.col("_cos") >= tau)
+    )
+    dup = pairs.groupBy(F.col("_b").alias(id_col)).agg(
+        F.min("_a").alias("_dup_of")
+    )
+    return (
+        assign.select(id_col, "cell")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce("_dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+            F.col("_dup_of").isNull().alias("kept"),
+        )
+    )

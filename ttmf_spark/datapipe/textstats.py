@@ -338,3 +338,34 @@ def with_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.coalesce("lm_ce", F.lit(0.0)).alias("lm_ce"),
         )
     )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    group_col: str = "lang",
+    len_col: str = "n_chars",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-group document-length quantile profile (linear interpolation,
+    the numpy/type-7 definition both Spark ``percentile`` and DuckDB
+    ``quantile_cont`` implement): one row per group with n_docs and one
+    p{xx} column per requested probability — the length-distribution
+    audit a curation pass reads before picking min/max length cutoffs
+    per language.
+
+    Scale note: ``percentile`` is the exact aggregate — it buffers each
+    group's values, which is fine while groups are language-sized shards
+    of a scan but becomes the memory hot spot when a single group holds
+    10^10 docs; the production swap is ``percentile_approx`` (bounded
+    t-digest sketch, mergeable map-side) at an accuracy budget, kept out
+    of the gated query because its sketch is not engine-portable.
+    """
+    arr = ", ".join(str(p) for p in probs)
+    agg = [F.count("*").alias("n_docs"),
+           F.expr(f"percentile({len_col}, array({arr}))").alias("_q")]
+    out = docs.groupBy(F.col(group_col).alias("grp")).agg(*agg)
+    cols = [F.col("grp"), F.col("n_docs")]
+    for i, p in enumerate(probs):
+        name = f"p{int(round(p * 100)):02d}"
+        cols.append(F.round(F.col("_q")[i], 6).alias(name))
+    return out.select(*cols)

@@ -158,11 +158,15 @@ def common_neighbor_scores(
 ) -> DataFrame:
     """Link-prediction candidate scores over the undirected KG skeleton:
     for node pairs u < v that are NOT already connected, the
-    common-neighbor count and Adamic-Adar score
-    `aa = sum over z in N(u) & N(v) of 1/ln(deg(z))` — the classic KGC
-    missing-link baseline (not in the reference, which predicts links via
-    TransE ranks in evaluate.py; this is the structural twin a production
-    pipeline runs first because it needs no training).
+    common-neighbor count, Adamic-Adar score
+    `aa = sum over z in N(u) & N(v) of 1/ln(deg(z))`, and the
+    resource-allocation index `ra = sum of 1/deg(z)` (Zhou et al. 2009)
+    — the classic KGC missing-link baselines (not in the reference, which
+    predicts links via TransE ranks in evaluate.py; this is the
+    structural twin a production pipeline runs first because it needs no
+    training, and RA is the same spread-resource-over-out-degree
+    weighting TTMF's entity-level ResourceRank itself uses,
+    ResourceRank2.py:49-57).
 
     Shape at scale: one self-join of the (node, neighbor) edge list on
     the shared neighbor z — shuffles on z, so a hub z with degree d
@@ -207,6 +211,7 @@ def common_neighbor_scores(
         .agg(
             F.count("*").alias("cn"),
             F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa"),
+            F.round(F.sum(1.0 / F.col("deg")), 6).alias("ra"),
         )
     )
     # keep only non-edges: the point is predicting MISSING links
@@ -649,3 +654,34 @@ def hits(
         F.round("auth", 6).alias("auth"),
         F.round("hub", 6).alias("hub"),
     )
+
+
+def components(
+    id_triples: DataFrame,
+    driver_max_edges: int | None = None,
+) -> DataFrame:
+    """(node, component) over the undirected KG skeleton, component = the
+    minimum entity id in each connected component — the same alternating
+    small-star/large-star contraction (Kiveris et al. 2014) the extraction
+    front end uses for alias canonicalization
+    (extract/canonicalize.py:95), surfaced over the *constructed* graph as
+    the fragmentation QA pass a KG build runs before trusting global
+    features (PageRank mass, reach sets) that silently assume one big
+    component.
+
+    Star contraction converges in O(log n) rounds independent of
+    diameter, so a 10^9-node chain costs ~30 equi-join rounds, not 10^9
+    label sweeps; each round is two hash joins + distinct on the
+    shrinking edge set with per-round localCheckpoint. The DuckDB twin is
+    a fixed-sweep pointer-jumping min-label recurrence (neighbor-min +
+    label-of-label), which reaches the same fixpoint (min id per
+    component) once converged — kg_components_sql unrolls enough doubling
+    sweeps to cover any diameter the fixtures can hold.
+    """
+    from ttmf_spark.extract.canonicalize import connected_components
+
+    kwargs = {}
+    if driver_max_edges is not None:
+        kwargs["driver_max_edges"] = driver_max_edges
+    e = id_triples.select(F.col("h").alias("src"), F.col("t").alias("dst"))
+    return connected_components(e, **kwargs)

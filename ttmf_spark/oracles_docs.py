@@ -1091,3 +1091,50 @@ SELECT source, n_exact, est,
        ROUND(ABS(est - n_exact) / n_exact, 6) AS rel_err
 FROM j
 """
+
+
+def emb_semantic_dedup_sql(n_cells: int = 16, tau: float = 0.4, seed: int = 7) -> str:
+    """Twin of similarity.semantic_dedup(hash_fn='md5'): md5-hash-sampled
+    unit centroids, rounded-cosine nearest-cell assignment with lower-cell
+    tie-break, intra-cell rounded-cosine >= tau pairs, dup_of = min
+    lower-id cellmate (-1 for keepers)."""
+    h = _md5h(f"'{seed}' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {_UNIT_EMB.strip()},
+cents AS (
+  SELECT uv AS cv, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cell
+  FROM un ORDER BY {h}, vec_id LIMIT {n_cells}
+),
+cassign AS (
+  SELECT vec_id, uv, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(uv, cv), 6) DESC, cell ASC
+         ) AS rn
+  FROM un, cents
+),
+cidx AS MATERIALIZED (SELECT vec_id, uv, cell FROM cassign WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM cidx a JOIN cidx b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= {tau}
+),
+dup AS (SELECT b AS vec_id, MIN(a) AS dup_of FROM pairs GROUP BY b)
+SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+       COALESCE(d.dup_of, -1) AS dup_of,
+       (d.vec_id IS NULL) AS kept
+FROM cidx c LEFT JOIN dup d ON d.vec_id = c.vec_id
+"""
+
+
+def doc_length_quantiles_sql(probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)) -> str:
+    """Twin of textstats.length_quantiles: per-lang n_chars quantile_cont
+    (linear interpolation = Spark's exact percentile)."""
+    qcols = ", ".join(
+        f"ROUND(quantile_cont(n_chars, {p}), 6) AS p{int(round(p * 100)):02d}"
+        for p in probs
+    )
+    return f"""
+SELECT lang AS grp, COUNT(*) AS n_docs, {qcols}
+FROM documents GROUP BY lang
+"""

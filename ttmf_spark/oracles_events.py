@@ -107,3 +107,18 @@ SELECT c.cohort_start_s,
 FROM active a JOIN cohort c ON c.user_id = a.user_id
 GROUP BY 1, 2
 """
+
+
+def evt_anomaly_sql(z_cut: float = 3.0) -> str:
+    """Twin of events.value_anomalies: per-type sample mean/stddev,
+    |rounded z| > z_cut outliers."""
+    return f"""
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mu) / s.sd, 6) AS z
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE s.sd > 0 AND ABS(ROUND((e.value - s.mu) / s.sd, 6)) > {z_cut}
+"""

@@ -282,14 +282,15 @@ ez AS MATERIALIZED (
 pairs AS (
   SELECT l.node AS u, r.node AS v,
          CAST(COUNT(*) AS BIGINT) AS cn,
-         ROUND(SUM(1.0 / ln(l.deg)), 6) AS aa
+         ROUND(SUM(1.0 / ln(l.deg)), 6) AS aa,
+         ROUND(SUM(1.0 / l.deg), 6) AS ra
   FROM ez l JOIN ez r ON l.z = r.z AND l.node < r.node
   GROUP BY l.node, r.node
 ),
 existing AS (
   SELECT DISTINCT LEAST(node, nbr) AS u, GREATEST(node, nbr) AS v FROM und
 )
-SELECT p.u, p.v, p.cn, p.aa
+SELECT p.u, p.v, p.cn, p.aa, p.ra
 FROM pairs p
 WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.u = p.u AND e.v = p.v)
 ORDER BY p.aa DESC, p.cn DESC, p.u, p.v
@@ -560,3 +561,37 @@ FROM toks a JOIN toks b
  AND a.pos <> b.pos AND ABS(a.pos - b.pos) <= {window}
 GROUP BY a.tok, b.tok
 """
+
+
+def kg_components_sql(rounds: int = 8) -> str:
+    """Twin of graph.components (star-contraction CC, min-id labels): a
+    fixed-sweep pointer-jumping min-label recurrence — each sweep takes
+    the min of (own label, neighbors' labels, label-of-own-label), so the
+    reachable-min horizon at least doubles per sweep and ``rounds`` = 8
+    covers any component diameter up to ~2^8; integer-only, so the
+    fixpoint hashes identically to the contraction result."""
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT h AS u, t AS v FROM idt WHERE h <> t)",
+        "und AS MATERIALIZED ("
+        "  SELECT u AS node, v AS nbr FROM e"
+        "  UNION"
+        "  SELECT v AS node, u AS nbr FROM e)",
+        "nodes AS (SELECT h AS node FROM idt UNION SELECT t FROM idt)",
+        "c0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED ("
+            f"  SELECT l.node, LEAST(l.label,"
+            f"                       COALESCE(nb.m, l.label),"
+            f"                       COALESCE(j.label, l.label)) AS label"
+            f"  FROM c{i - 1} l"
+            f"  LEFT JOIN (SELECT u.node AS node, MIN(x.label) AS m"
+            f"             FROM und u JOIN c{i - 1} x ON x.node = u.nbr"
+            f"             GROUP BY u.node) nb ON nb.node = l.node"
+            f"  LEFT JOIN c{i - 1} j ON j.node = l.label)"
+        )
+    return (
+        f"WITH {KG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
+        f"SELECT node, label AS component FROM c{rounds}"
+    )

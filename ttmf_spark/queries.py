@@ -973,3 +973,38 @@ def q_evt_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_evt_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.json_props_stats(_events(spark, sf_dir), field="k")
+
+
+# --- round-2 additions: graph QA, semantic dedup, profiling ----------------
+
+
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the KG skeleton (graph.components — the
+    same small/large-star contraction the alias canonicalizer uses,
+    extract/canonicalize.py), min-id labels; driver_max_edges=0 forces
+    the distributed contraction path so the gate exercises the algorithm
+    itself, not the small-input driver union-find shortcut. DuckDB twin:
+    fixed-sweep pointer-jumping min-label (kg_components_sql)."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.components(idt, driver_max_edges=0)
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic deduplication
+    (similarity.semantic_dedup), md5-hash-sampled centroids for exact
+    oracle parity (the Lloyd-refined centroid variant is the rows-only
+    production path, similarity.ivf_refine)."""
+    return similarity.semantic_dedup(_emb(spark, sf_dir), hash_fn="md5")
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantile profile
+    (textstats.length_quantiles) — the distribution audit behind
+    per-language length cutoffs."""
+    return textstats.length_quantiles(_docs(spark, sf_dir))
+
+
+def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers over the event stream
+    (events.value_anomalies) — instrumentation QA before aggregation."""
+    return events.value_anomalies(_events(spark, sf_dir))
