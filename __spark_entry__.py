@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": Q.q_doc_stratified_sample,
         "doc_pii_redact": Q.q_doc_pii_redact,
         "doc_mixture_sample": Q.q_doc_mixture_sample,
+        "doc_shuffle_shards": Q.q_doc_shuffle_shards,
+        "doc_token_budget": Q.q_doc_token_budget,
         "doc_exact_dedup": Q.q_doc_exact_dedup,
         "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
         "doc_containment_pairs": Q.q_doc_containment_pairs,
@@ -184,6 +186,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": oracles_docs.doc_stratified_sample_sql(),
         "doc_pii_redact": oracles_docs.doc_pii_redact_sql(),
         "doc_mixture_sample": oracles_docs.doc_mixture_sample_sql(Q.MIXTURE_WEIGHTS),
+        "doc_shuffle_shards": oracles_docs.doc_shuffle_shards_sql(),
+        "doc_token_budget": oracles_docs.doc_token_budget_sql(
+            Q.TOKEN_BUDGET, Q.MIXTURE_WEIGHTS
+        ),
         "doc_source_stats": oracles_docs.doc_source_stats_sql(),
         "doc_langid_eval": oracles_docs.doc_langid_eval_sql(),
         "doc_exact_dedup": oracles_docs.doc_exact_dedup_sql(),

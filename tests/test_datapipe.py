@@ -690,3 +690,51 @@ def test_value_anomalies_planted_outlier(spark):
     out = E.value_anomalies(ev)
     got = [(r["event_id"], r["event_type"]) for r in out.collect()]
     assert got == [(99, "a")]
+
+
+def test_shuffle_shards_is_permutation_and_partition_invariant(spark):
+    """Every doc appears exactly once; per-shard positions are dense
+    0..n_s-1; and the plan is identical when the input arrives in a
+    different partitioning/order (the no-rand() contract)."""
+    from ttmf_spark.datapipe.curation import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", f"text {i}") for i in range(97)], "doc_id string, text string"
+    )
+    out = shuffle_shards(docs, n_shards=4, seed=11).collect()
+    assert len(out) == 97 and len({r["doc_id"] for r in out}) == 97
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    out2 = shuffle_shards(docs.repartition(7).orderBy("text"), n_shards=4, seed=11)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2.collect()))
+    # a different seed produces a different order (not a degenerate key)
+    out3 = shuffle_shards(docs, n_shards=4, seed=12).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, out3))
+
+
+def test_token_budget_plan_math(spark):
+    """epochs/full_passes/tail_rate satisfy their defining identities and
+    an unweighted source is reported with weight 0, not dropped."""
+    from ttmf_spark.datapipe.curation import token_budget_plan
+
+    docs = spark.createDataFrame(
+        [("a1", "one two three", "web"), ("a2", "four five", "web"),
+         ("b1", "x y z w", "code"), ("c1", "lone doc here", "ghost")],
+        "doc_id string, text string, source string",
+    )
+    rows = {r["source"]: r for r in token_budget_plan(
+        docs, budget=16, weights={"web": 0.5, "code": 0.25}
+    ).collect()}
+    assert set(rows) == {"web", "code", "ghost"}
+    web = rows["web"]
+    assert (web["n_docs"], web["n_tokens"], web["target_tokens"]) == (2, 5, 8)
+    assert web["epochs"] == 1.6 and web["full_passes"] == 1
+    assert abs(web["tail_rate"] - 0.6) < 1e-9
+    assert rows["code"]["target_tokens"] == 4 and rows["code"]["epochs"] == 1.0
+    assert rows["code"]["full_passes"] == 1 and rows["code"]["tail_rate"] == 0.0
+    ghost = rows["ghost"]
+    assert ghost["weight"] == 0.0 and ghost["target_tokens"] == 0
+    assert ghost["epochs"] == 0.0 and ghost["full_passes"] == 0

@@ -237,3 +237,113 @@ def weighted_sample(
         .limit(k)
         .select(id_col, "source", "quality", "key")
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 64,
+    seed: int = 11,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard plan.
+
+    The "shuffle the corpus before training" step of LLM data prep done
+    as a PLAN, not a data move: every document draws a seeded 60-bit
+    order key, a shard = draw(seed+1) % n_shards, and its position
+    within the shard (order key asc, id tie-break). A loader that reads
+    shards in shard order and rows in pos order sees a reproducible
+    uniform permutation — no rand(), identical across runs, engines,
+    and partitionings (the corpus-level twin of the W6 triple shuffle,
+    kg/transe.py; reference analogue: TransE.java's per-epoch random
+    triple order, re-expressed seeded).
+
+    Scale: one hash exchange on shard + a per-shard sort; partitions
+    are bounded at N/n_shards rows (pick n_shards ~ corpus/10M docs),
+    never the single-task global sort a bare orderBy(hash) would be.
+    """
+    from pyspark.sql.window import Window
+
+    from ttmf_spark.datapipe.dedup import u60
+
+    sid = F.col(id_col).cast("string")
+    d = (
+        docs.select(id_col)
+        .withColumn("_ord", u60(sid, seed=seed, fn=hash_fn))
+        .withColumn(
+            "shard",
+            F.pmod(u60(sid, seed=seed + 1, fn=hash_fn), F.lit(n_shards)).cast("int"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+    return d.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).select(
+        id_col, "shard", "pos"
+    )
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    budget: int,
+    weights: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token accounting + epoch allocation for a token budget.
+
+    The mixture-table planning step of training-data prep (the
+    "how many passes of each source hit the budget" audit): given a
+    total token budget and each source's target mixture weight, report
+    what the source holds (n_docs, n_tokens) and what the plan asks of
+    it — target_tokens = floor(budget * weight), epochs =
+    target/available (>1 means the source repeats), full_passes =
+    floor(epochs), tail_rate = the sampling rate of the final partial
+    pass. Sources missing from ``weights`` are reported with weight 0,
+    not dropped: the table IS the audit.
+
+    Scale: token counting is the same codegen expression as doc_stats
+    (map-side partial agg), the groupBy output is dim-sized (one row
+    per source), the weights join is broadcast. One shuffle of
+    dim-sized partials end to end at any corpus size.
+    """
+    from ttmf_spark.datapipe.textstats import with_token_counts
+
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(s, float(p)) for s, p in sorted(weights.items())],
+        f"{source_col} string, weight double",
+    )
+    per_src = (
+        with_token_counts(docs, text_col)
+        .groupBy(source_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("n_tokens"))
+    )
+    return (
+        per_src.join(F.broadcast(dim), source_col, "left")
+        .withColumn("weight", F.coalesce(F.col("weight"), F.lit(0.0)))
+        .withColumn(
+            "target_tokens",
+            F.floor(F.lit(float(budget)) * F.col("weight")).cast("long"),
+        )
+        # epochs from the already-floored integer target: both engines
+        # divide the same exact integers, so round(., 6) agrees
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("target_tokens")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .withColumn("full_passes", F.floor("epochs").cast("long"))
+        .withColumn("tail_rate", F.round(F.col("epochs") - F.col("full_passes"), 6))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "weight",
+            "target_tokens",
+            "epochs",
+            "full_passes",
+            "tail_rate",
+        )
+    )

@@ -1138,3 +1138,53 @@ def doc_length_quantiles_sql(probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95))
 SELECT lang AS grp, COUNT(*) AS n_docs, {qcols}
 FROM documents GROUP BY lang
 """
+
+
+def doc_shuffle_shards_sql(n_shards: int = 8, seed: int = 11) -> str:
+    """Twin of curation.shuffle_shards(hash_fn='md5'): same salted
+    60-bit order key + shard draw, same (ord, id) within-shard order."""
+    u_ord = _md5h(f"'{seed}' || CAST(doc_id AS VARCHAR)")
+    u_sh = _md5h(f"'{seed + 1}' || CAST(doc_id AS VARCHAR)")
+    two60 = 1 << 60
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         ({u_ord} % {two60}) AS ord_key,
+         CAST(({u_sh} % {two60}) % {n_shards} AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+def doc_token_budget_sql(budget: int, weights: dict[str, float]) -> str:
+    """Twin of curation.token_budget_plan: same token expression as
+    doc_stats, floor(budget*weight) target, epochs from the floored
+    integer target (round 6 on identical doubles in both engines)."""
+    rows = ", ".join(f"('{s}', {float(p)!r})" for s, p in sorted(weights.items()))
+    return f"""
+WITH w AS (SELECT * FROM (VALUES {rows}) AS t(source, weight)),
+s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+j AS (
+  SELECT s.source, s.n_docs, s.n_tokens,
+         CAST(COALESCE(w.weight, 0.0) AS DOUBLE) AS weight,
+         CAST(floor(CAST({budget} AS DOUBLE) * COALESCE(w.weight, 0.0)) AS BIGINT)
+           AS target_tokens
+  FROM s LEFT JOIN w ON s.source = w.source
+),
+e AS (
+  SELECT *, ROUND(CAST(target_tokens AS DOUBLE) / greatest(n_tokens, 1), 6) AS epochs
+  FROM j
+)
+SELECT source, n_docs, n_tokens, weight, target_tokens, epochs,
+       CAST(floor(epochs) AS BIGINT) AS full_passes,
+       ROUND(epochs - floor(epochs), 6) AS tail_rate
+FROM e
+"""

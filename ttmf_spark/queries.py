@@ -696,6 +696,26 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(_docs(spark, sf_dir), MIXTURE_WEIGHTS, seed=0, hash_fn="md5")
 
 
+def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order shuffle + shard plan (md5 draw for
+    bit-parity) — curation.shuffle_shards, the corpus-level W6 twin."""
+    from ttmf_spark.datapipe.curation import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), n_shards=8, seed=11, hash_fn="md5")
+
+
+TOKEN_BUDGET = 500_000
+
+
+def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting + epoch allocation against a 500k
+    token budget at the MIXTURE_WEIGHTS target mix —
+    curation.token_budget_plan."""
+    from ttmf_spark.datapipe.curation import token_budget_plan
+
+    return token_budget_plan(_docs(spark, sf_dir), TOKEN_BUDGET, MIXTURE_WEIGHTS)
+
+
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-10-per-source deterministic sample (min-k salted hashes,
     two-phase skew-safe top-k) — curation.stratified_sample."""
