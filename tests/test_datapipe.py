@@ -738,3 +738,21 @@ def test_token_budget_plan_math(spark):
     ghost = rows["ghost"]
     assert ghost["weight"] == 0.0 and ghost["target_tokens"] == 0
     assert ghost["epochs"] == 0.0 and ghost["full_passes"] == 0
+
+
+def test_cms_counts_one_sided_and_collision_overcount(spark):
+    """CMS estimates are >= exact for every key (one-sided error), exact
+    totals are right, and a deliberately tiny width forces at least one
+    collision overcount; depth=width-large recovers exactness."""
+    from ttmf_spark.datapipe.sketch import cms_counts
+
+    rows = [(i, 1000 + (i % 7), "t") for i in range(140)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = {r["user_id"]: r for r in cms_counts(ev, width=2, depth=2).collect()}
+    assert len(out) == 7
+    assert all(r["est"] >= r["n_exact"] for r in out.values())
+    assert all(r["overcount"] == r["est"] - r["n_exact"] for r in out.values())
+    assert sum(r["n_exact"] for r in out.values()) == 140
+    assert any(r["overcount"] > 0 for r in out.values())  # width 2, 7 keys
+    wide = cms_counts(ev, width=4096, depth=4).collect()
+    assert all(r["overcount"] == 0 for r in wide)

@@ -89,3 +89,72 @@ def kmv_distinct_shingles(
         )
         .select(source_col, "n_exact", "est", "rel_err")
     )
+
+
+def cms_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    width: int = 8,
+    depth: int = 3,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-Min sketch frequency estimates with built-in truth QA.
+
+    (key, n_exact, est, overcount): ``est`` is the classic CMS estimate
+    (Cormode & Muthukrishnan 2005) — min over ``depth`` rows of the
+    (seeded-hash % width) cell counters — and is >= n_exact by
+    construction (one-sided error; expected overcount ~ N/width per
+    row). Like the KMV gate above, the exact column IS the QA: this
+    query tells you what error (width, depth) buys before you drop the
+    exact count at scale.
+
+    Scale: the sketch is a groupBy onto width*depth cells — partials
+    combine map-side into a model-sized table (THE point of CMS: the
+    counter table is O(w*d), not O(|keys|)), broadcast to the estimate
+    join. The key side here enumerates all distinct keys for the QA
+    gate; at 100 TB the key side is whatever candidate stream needs
+    estimates (a sample, a heavy-hitter shortlist), not an enumeration.
+    Deterministic under any partitioning: counters are exact integer
+    sums, hashes are seeded.
+    """
+    key_s = F.col(key_col).cast("string")
+
+    def _cells():
+        # unbound column exprs: resolve against events and keys alike
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            u60(key_s, seed=seed + d, fn=hash_fn), F.lit(width)
+                        )
+                        .cast("int")
+                        .alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc")
+
+    sketch = (
+        events.select(_cells())
+        .groupBy("dc.d", "dc.cell")
+        .agg(F.count("*").alias("c"))
+    )
+    keys = events.groupBy(key_col).agg(F.count("*").alias("n_exact"))
+    key_cells = keys.select(key_col, "n_exact", _cells()).select(
+        key_col, "n_exact", "dc.d", "dc.cell"
+    )
+    return (
+        key_cells.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy(key_col, "n_exact")
+        .agg(F.min("c").alias("est"))
+        .select(
+            key_col,
+            "n_exact",
+            "est",
+            (F.col("est") - F.col("n_exact")).alias("overcount"),
+        )
+    )

@@ -122,3 +122,36 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e JOIN stats s ON s.event_type = e.event_type
 WHERE s.sd > 0 AND ABS(ROUND((e.value - s.mu) / s.sd, 6)) > {z_cut}
 """
+
+
+def evt_cms_counts_sql(width: int = 8, depth: int = 3, seed: int = 0) -> str:
+    """Twin of sketch.cms_counts(hash_fn='md5'): same per-row salted
+    cells, same exact-integer counters, same min-over-depth estimate."""
+
+    def _h(d: int, expr: str) -> str:
+        return (
+            f"('0x' || substr(md5('{seed + d}' || {expr}), 1, 15))::BIGINT"
+        )
+
+    two60 = 1 << 60
+    ev_branches = " UNION ALL ".join(
+        f"SELECT {d} AS d, CAST(({_h(d, 'CAST(user_id AS VARCHAR)')} % {two60})"
+        f" % {width} AS INT) AS cell FROM events"
+        for d in range(depth)
+    )
+    key_branches = " UNION ALL ".join(
+        f"SELECT user_id, n_exact, {d} AS d,"
+        f" CAST(({_h(d, 'CAST(user_id AS VARCHAR)')} % {two60}) % {width} AS INT)"
+        f" AS cell FROM keys"
+        for d in range(depth)
+    )
+    return f"""
+WITH cells AS (
+  SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS c FROM ({ev_branches}) GROUP BY d, cell
+),
+keys AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM events GROUP BY user_id),
+kc AS ({key_branches})
+SELECT kc.user_id, kc.n_exact, MIN(cells.c) AS est, MIN(cells.c) - kc.n_exact AS overcount
+FROM kc JOIN cells ON cells.d = kc.d AND cells.cell = kc.cell
+GROUP BY kc.user_id, kc.n_exact
+"""

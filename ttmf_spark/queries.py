@@ -1028,3 +1028,14 @@ def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers over the event stream
     (events.value_anomalies) — instrumentation QA before aggregation."""
     return events.value_anomalies(_events(spark, sf_dir))
+
+
+def q_evt_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min per-user frequency estimates with truth QA (md5 draw
+    for bit-parity; width 8 so collisions actually exercise the
+    one-sided overcount at gate scale) — sketch.cms_counts."""
+    from ttmf_spark.datapipe.sketch import cms_counts
+
+    return cms_counts(
+        _events(spark, sf_dir), width=8, depth=3, seed=0, hash_fn="md5"
+    )
