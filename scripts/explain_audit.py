@@ -507,6 +507,19 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # CMS counts: events fold into a width*depth cell table (map-side
+    # combinable hash agg) broadcast back onto the key side — the only
+    # per-key shuffle is the exact-count QA agg, JVM-side end to end
+    audit(
+        "evt_cms_counts",
+        Q.q_evt_cms_counts(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:
