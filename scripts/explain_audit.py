@@ -520,6 +520,19 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # Bloom decontamination: <= m_bits-row set-bit table probed via
+    # k broadcast left joins over the shingle rows — the training side
+    # shuffles only at the per-doc rollup, JVM-side end to end
+    audit(
+        "doc_bloom_contamination",
+        Q.q_doc_bloom_contamination(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

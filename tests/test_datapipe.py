@@ -756,3 +756,49 @@ def test_cms_counts_one_sided_and_collision_overcount(spark):
     assert any(r["overcount"] > 0 for r in out.values())  # width 2, 7 keys
     wide = cms_counts(ev, width=4096, depth=4).collect()
     assert all(r["overcount"] == 0 for r in wide)
+
+
+def test_bloom_contamination_one_sided_and_fp_forcing(spark):
+    """Bloom decontamination never misses a real hit (no false negatives,
+    any m), a tiny filter forces false positives, and a wide filter with
+    the same seeds recovers the exact join."""
+    from ttmf_spark.datapipe import decontam
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),       # 3/3 shingles hit
+            (2, "totally novel words only here"),   # zero true overlap
+            (3, "the quick brown fox jumps over"),  # 3/4 shingles hit
+            (4, "x y"),                             # degenerate, clean
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+
+    tiny = {
+        r["doc_id"]: r
+        for r in decontam.bloom_contamination(
+            train, ev, m_bits=2, k_hashes=2, n=3
+        ).collect()
+    }
+    assert set(tiny) == {1, 2, 3, 4}
+    # exact side matches contamination_scores semantics
+    assert tiny[1]["n_hit_exact"] == 3 and tiny[3]["n_hit_exact"] == 3
+    assert tiny[2]["n_hit_exact"] == 0 and tiny[4]["n_hit_exact"] == 0
+    # one-sided: bloom >= exact everywhere, and m=2 bits saturate -> FPs
+    assert all(r["n_hit_bloom"] >= r["n_hit_exact"] for r in tiny.values())
+    assert all(
+        r["n_false_pos"] == r["n_hit_bloom"] - r["n_hit_exact"]
+        for r in tiny.values()
+    )
+    assert sum(r["n_false_pos"] for r in tiny.values()) > 0
+
+    wide = decontam.bloom_contamination(
+        train, ev, m_bits=1 << 16, k_hashes=3, n=3
+    ).collect()
+    assert all(r["n_false_pos"] == 0 for r in wide)
+    assert {r["doc_id"]: r["n_hit_bloom"] for r in wide} == {
+        1: 3, 2: 0, 3: 3, 4: 0
+    }

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ttmf_spark.datapipe.dedup import shingles
+from ttmf_spark.datapipe.dedup import shingles, u60
 
 
 def contamination_scores(
@@ -85,6 +85,95 @@ def contamination_scores(
         "n_hit",
         contamination.alias("contamination"),
         (contamination >= tau).alias("contaminated"),
+    )
+
+
+def bloom_contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    n: int = 3,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Bloom-filter decontamination with built-in truth QA.
+
+    The 100 TB story for `contamination_scores`: when even the
+    benchmark's distinct-shingle set is too wide to broadcast as strings
+    (memorized web dumps of the eval set, 13-gram strings), fold it into
+    an ``m_bits``-slot Bloom filter (Bloom 1970) and probe THAT — the
+    broadcast side shrinks from |shingles| strings to at most m_bits
+    integers, at the cost of one-sided false positives (quarantining a
+    clean doc is safe; missing a contaminated one is not, and a Bloom
+    filter can't do that by construction).
+
+    Per training doc: (doc_id, n_shingles, n_hit_exact, n_hit_bloom,
+    n_false_pos) where ``n_hit_bloom >= n_hit_exact`` always (no false
+    negatives) and ``n_false_pos = n_hit_bloom - n_hit_exact`` is the QA
+    column — the gate that tells you what error (m_bits, k_hashes) buys
+    before you drop the exact join at scale. Expected FP rate
+    ~ (1 - e^{-k*S/m})^k for S eval shingles.
+
+    Plan shape: the filter is built as a distinct set-bit table (<=
+    m_bits rows) and probed with ``k_hashes`` broadcast LEFT joins over
+    the (doc_id, shingle) rows — the training side NEVER shuffles until
+    the per-doc rollup (the same single exchange as
+    contamination_scores). Deterministic under any partitioning: seeded
+    hashes, exact integer counters.
+    """
+    train_sh = shingles(train_docs, text_col, id_col, n)
+    eval_sh = (
+        shingles(eval_docs, text_col, id_col, n).select("shingle").distinct()
+    )
+
+    def _pos(i: int):
+        return F.pmod(
+            u60(F.col("shingle"), seed=seed + i, fn=hash_fn), F.lit(m_bits)
+        ).cast("int")
+
+    bits = (
+        eval_sh.select(
+            F.explode(F.array(*[_pos(i) for i in range(k_hashes)])).alias("pos")
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+
+    probed = train_sh
+    for i in range(k_hashes):
+        probed = probed.join(
+            F.broadcast(bits.withColumnRenamed("_set", f"_b{i}")),
+            _pos(i) == F.col("pos"),
+            "left",
+        ).drop("pos")
+    bloom_hit = None
+    for i in range(k_hashes):
+        flag = F.col(f"_b{i}").isNotNull()
+        bloom_hit = flag if bloom_hit is None else (bloom_hit & flag)
+    exact = eval_sh.withColumn("_hit", F.lit(1))
+    probed = probed.join(F.broadcast(exact), "shingle", "left")
+
+    agg = probed.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_hit_exact"),
+        F.sum(bloom_hit.cast("long")).alias("n_hit_bloom"),
+    )
+    return (
+        train_docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hit_exact", F.lit(0)).alias("n_hit_exact"),
+            F.coalesce("n_hit_bloom", F.lit(0)).alias("n_hit_bloom"),
+            (
+                F.coalesce("n_hit_bloom", F.lit(0))
+                - F.coalesce("n_hit_exact", F.lit(0))
+            ).alias("n_false_pos"),
+        )
     )
 
 

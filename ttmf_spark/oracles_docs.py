@@ -545,6 +545,58 @@ FROM per_doc
 """
 
 
+def doc_bloom_contamination_sql(
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    n: int = 3,
+    seed: int = 0,
+    modulus: int = 17,
+) -> str:
+    """Twin of decontam.bloom_contamination(hash_fn='md5') over the
+    modulus eval split: same seeded md5-60bit bit positions, same
+    distinct set-bit table, same all-k-bits-set membership rule."""
+    two60 = 1 << 60
+
+    def _pos(i: int, expr: str) -> str:
+        return (
+            f"CAST((('0x' || substr(md5('{seed + i}' || {expr}), 1, 15))::BIGINT"
+            f" % {two60}) % {m_bits} AS INT)"
+        )
+
+    bit_branches = " UNION ALL ".join(
+        f"SELECT {_pos(i, 'shingle')} AS pos FROM eval_sh"
+        for i in range(k_hashes)
+    )
+    bloom_hit = " AND ".join(
+        f"({_pos(i, 't.shingle')} IN (SELECT pos FROM bits))"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH {_SHINGLES.format(n=n).strip()},
+eval_sh AS (SELECT DISTINCT shingle FROM sh2 WHERE doc_id % {modulus} = 0),
+train AS (SELECT doc_id, shingle FROM sh2 WHERE doc_id % {modulus} <> 0),
+bits AS (SELECT DISTINCT pos FROM ({bit_branches})),
+probe AS (
+  SELECT t.doc_id,
+         CASE WHEN t.shingle IN (SELECT shingle FROM eval_sh) THEN 1 ELSE 0 END AS exact_hit,
+         CASE WHEN {bloom_hit} THEN 1 ELSE 0 END AS bloom_hit
+  FROM train t
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(exact_hit) AS BIGINT) AS n_hit_exact,
+         CAST(SUM(bloom_hit) AS BIGINT) AS n_hit_bloom
+  FROM probe GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(a.n_shingles, 0) AS n_shingles,
+       COALESCE(a.n_hit_exact, 0) AS n_hit_exact,
+       COALESCE(a.n_hit_bloom, 0) AS n_hit_bloom,
+       COALESCE(a.n_hit_bloom, 0) - COALESCE(a.n_hit_exact, 0) AS n_false_pos
+FROM (SELECT doc_id FROM documents WHERE doc_id % {modulus} <> 0) d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def doc_pii_redact_sql(modulus: int = 7) -> str:
     """Twin of pii.redact_pii over pii.with_synthetic_pii: the patterns
     are written in the Java/RE2-portable subset (pii.py module doc)."""

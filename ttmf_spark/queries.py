@@ -673,6 +673,22 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.contamination_scores(train, ev, n=3, tau=0.5)
 
 
+def q_doc_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination with truth QA: the scale path of
+    q_doc_contamination when the eval shingle set itself is too wide to
+    broadcast as strings (decontam.bloom_contamination; md5 draw for
+    bit-parity, m small enough that false positives actually occur at
+    gate scale so the one-sided-error QA columns are exercised)."""
+    from ttmf_spark.datapipe import decontam
+
+    train, ev = decontam.split_train_eval(_docs(spark, sf_dir), modulus=17)
+    # m sized for the fixture eval set (~1.4k shingles): ~0.4 fill ratio,
+    # ~6% false-positive rate — real FPs for the QA gate, not saturation
+    return decontam.bloom_contamination(
+        train, ev, m_bits=8192, k_hashes=3, n=3, seed=0, hash_fn="md5"
+    )
+
+
 def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact (email/IPv4/phone, Java+RE2-portable regexes).
     The fixture corpus has no organic PII, so deterministic PII is
