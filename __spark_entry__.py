@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sessions": Q.q_evt_sessions,
         "evt_anomaly": Q.q_evt_anomaly,
         "evt_cms_counts": Q.q_evt_cms_counts,
+        "evt_heavy_hitters": Q.q_evt_heavy_hitters,
         "evt_funnel": Q.q_evt_funnel,
         "evt_retention": Q.q_evt_retention,
         "evt_windowed": Q.q_evt_windowed,
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "evt_sessions": oracles_events.evt_sessions_sql(),
         "evt_anomaly": oracles_events.evt_anomaly_sql(),
         "evt_cms_counts": oracles_events.evt_cms_counts_sql(),
+        "evt_heavy_hitters": oracles_events.evt_heavy_hitters_sql(),
         "evt_funnel": oracles_events.evt_funnel_sql(),
         "evt_retention": oracles_events.evt_retention_sql(),
         "evt_windowed": oracles_events.evt_windowed_sql(),

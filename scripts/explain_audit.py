@@ -533,6 +533,19 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # CMS heavy hitters: cms_counts' broadcast-counter shape plus one
+    # deliberate 1-row stream-length broadcast (the only BNLJ). The
+    # SinglePartition exchange here is the global COUNT(*) reduce — a
+    # 1-row result fed by map-side partials, not a global sort — so the
+    # SinglePartition forbid is intentionally omitted for this query.
+    audit(
+        "evt_heavy_hitters",
+        Q.q_evt_heavy_hitters(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

@@ -802,3 +802,26 @@ def test_bloom_contamination_one_sided_and_fp_forcing(spark):
     assert {r["doc_id"]: r["n_hit_bloom"] for r in wide} == {
         1: 3, 2: 0, 3: 3, 4: 0
     }
+
+
+def test_cms_heavy_hitters_superset_guarantee(spark):
+    """The CMS shortlist contains EVERY true phi-heavy hitter (one-sided),
+    a tiny width adds collision keys flagged is_true_hh=false, and a wide
+    sketch returns exactly the true heavy hitters."""
+    from ttmf_spark.datapipe.sketch import cms_heavy_hitters
+
+    # 1 hot key (500 events), 20 cold keys (5 each): N=600, phi=1/4 -> 150
+    rows = [(i, 1, "t") for i in range(500)]
+    rows += [(1000 + i, 2 + (i % 20), "t") for i in range(100)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+
+    wide = cms_heavy_hitters(ev, phi_num=1, phi_den=4, width=4096, depth=4)
+    assert [(r["user_id"], r["n_exact"], r["is_true_hh"]) for r in wide.collect()] == [
+        (1, 500, True)
+    ]
+
+    tiny = {r["user_id"]: r for r in
+            cms_heavy_hitters(ev, phi_num=1, phi_den=4, width=2, depth=1).collect()}
+    assert 1 in tiny and tiny[1]["is_true_hh"]          # never dropped
+    assert any(not r["is_true_hh"] for r in tiny.values())  # collision flags
+    assert all(r["est"] >= r["n_exact"] for r in tiny.values())

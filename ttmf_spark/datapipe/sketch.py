@@ -91,6 +91,49 @@ def kmv_distinct_shingles(
     )
 
 
+def cms_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    phi_num: int = 1,
+    phi_den: int = 125,
+    width: int = 256,
+    depth: int = 3,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Heavy-hitter shortlist from the Count-Min sketch: keys whose CMS
+    estimate reaches ``phi_num/phi_den`` of the stream length.
+
+    (key, n_exact, est, is_true_hh), flagged rows only. Because est >=
+    n_exact always, the shortlist is a SUPERSET of the true phi-heavy
+    hitters — CMS can add spurious keys but never drop a real one (the
+    property that makes sketch-then-verify safe: the exact second pass
+    only needs to touch the shortlist). ``is_true_hh`` is the QA column
+    (false => a collision artifact of (width, depth)).
+
+    The phi threshold is compared in EXACT INTEGER arithmetic
+    (est * phi_den >= phi_num * N) — a float phi would round differently
+    between engines (DuckDB parses 0.008 as DECIMAL, Spark as double)
+    and flip boundary keys. Scale: inherits cms_counts' shape (one
+    model-sized counter table broadcast onto the key side) plus one
+    1-row stream-length broadcast.
+    """
+    est = cms_counts(events, key_col, width, depth, seed, hash_fn)
+    total = events.groupBy().agg(F.count("*").alias("_n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") * phi_den >= phi_num * F.col("_n"))
+        .select(
+            key_col,
+            "n_exact",
+            "est",
+            (F.col("n_exact") * phi_den >= phi_num * F.col("_n")).alias(
+                "is_true_hh"
+            ),
+        )
+    )
+
+
 def cms_counts(
     events: DataFrame,
     key_col: str = "user_id",

@@ -155,3 +155,22 @@ SELECT kc.user_id, kc.n_exact, MIN(cells.c) AS est, MIN(cells.c) - kc.n_exact AS
 FROM kc JOIN cells ON cells.d = kc.d AND cells.cell = kc.cell
 GROUP BY kc.user_id, kc.n_exact
 """
+
+
+def evt_heavy_hitters_sql(
+    phi_num: int = 1,
+    phi_den: int = 125,
+    width: int = 256,
+    depth: int = 3,
+    seed: int = 0,
+) -> str:
+    """Twin of sketch.cms_heavy_hitters(hash_fn='md5'): the cms_counts
+    twin as a subquery, exact-integer phi threshold on both sides."""
+    return f"""
+WITH cms AS ({evt_cms_counts_sql(width=width, depth=depth, seed=seed)}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT cms.user_id, cms.n_exact, cms.est,
+       (cms.n_exact * {phi_den} >= {phi_num} * tot.n) AS is_true_hh
+FROM cms, tot
+WHERE cms.est * {phi_den} >= {phi_num} * tot.n
+"""

@@ -1055,3 +1055,21 @@ def q_evt_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_counts(
         _events(spark, sf_dir), width=8, depth=3, seed=0, hash_fn="md5"
     )
+
+
+def q_evt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS heavy-hitter shortlist (phi = 1/125 of the stream) with the
+    superset guarantee exposed as the is_true_hh QA column — the
+    sketch-then-verify shortlist pattern (sketch.cms_heavy_hitters;
+    md5 draw for bit-parity)."""
+    from ttmf_spark.datapipe.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _events(spark, sf_dir),
+        phi_num=1,
+        phi_den=125,
+        width=256,
+        depth=3,
+        seed=0,
+        hash_fn="md5",
+    )
