@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_classifier_eval": Q.q_emb_classifier_eval,
         "emb_semantic_dedup": Q.q_emb_semantic_dedup,
         "doc_length_quantiles": Q.q_doc_length_quantiles,
+        "doc_sampled_quantiles": Q.q_doc_sampled_quantiles,
         # data pipeline: event streams
         "evt_sessions": Q.q_evt_sessions,
         "evt_anomaly": Q.q_evt_anomaly,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_classifier_eval": oracles_docs.emb_classifier_eval_sql(),
         "emb_semantic_dedup": oracles_docs.emb_semantic_dedup_sql(),
         "doc_length_quantiles": oracles_docs.doc_length_quantiles_sql(),
+        "doc_sampled_quantiles": oracles_docs.doc_sampled_quantiles_sql(),
         "evt_sessions": oracles_events.evt_sessions_sql(),
         "evt_anomaly": oracles_events.evt_anomaly_sql(),
         "evt_cms_counts": oracles_events.evt_cms_counts_sql(),

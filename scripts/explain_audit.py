@@ -546,6 +546,18 @@ def main() -> None:
         forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython"],
     )
 
+    # sampled quantiles: two-phase bounded top-k (per-(grp,salt) then
+    # per-grp windows — never a global sort) + one percentile agg per
+    # side, JVM-side end to end
+    audit(
+        "doc_sampled_quantiles",
+        Q.q_doc_sampled_quantiles(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

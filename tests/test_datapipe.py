@@ -825,3 +825,33 @@ def test_cms_heavy_hitters_superset_guarantee(spark):
     assert 1 in tiny and tiny[1]["is_true_hh"]          # never dropped
     assert any(not r["is_true_hh"] for r in tiny.values())  # collision flags
     assert all(r["est"] >= r["n_exact"] for r in tiny.values())
+
+
+def test_sampled_quantiles_exact_below_k_and_bounded_error(spark):
+    """Groups with <= k rows recover the exact quantiles (the sample IS
+    the group); a large group samples exactly k rows, estimates within a
+    sane band, and the choice of rows is a pure function of the id set
+    (identical under repartitioning)."""
+    from ttmf_spark.datapipe.sketch import sampled_quantiles
+
+    rows = [(i, "big", i % 1000) for i in range(5000)]
+    rows += [(10000 + i, "tiny", 10 * i) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    out = sampled_quantiles(docs, k=64, n_salts=4).collect()
+    by = {(r["grp"], r["pct"]): r for r in out}
+
+    # tiny group: n_docs == n_sample -> est == exact, abs_err == 0
+    for pct in (25, 50, 75, 95):
+        r = by[("tiny", pct)]
+        assert r["n_docs"] == 20 and r["n_sample"] == 20
+        assert r["est"] == r["exact"] and r["abs_err"] == 0.0
+
+    # big group: exactly k sampled; uniform 0..999 -> p50 within ~4/sqrt(64)*250
+    big = by[("big", 50)]
+    assert big["n_docs"] == 5000 and big["n_sample"] == 64
+    assert abs(big["est"] - big["exact"]) < 200
+
+    # partitioning-invariance of the whole result
+    again = sampled_quantiles(docs.repartition(13), k=64, n_salts=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

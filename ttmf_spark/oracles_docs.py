@@ -1240,3 +1240,54 @@ SELECT source, n_docs, n_tokens, weight, target_tokens, epochs,
        ROUND(epochs - floor(epochs), 6) AS tail_rate
 FROM e
 """
+
+
+def doc_sampled_quantiles_sql(
+    k: int = 64,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_salts: int = 16,
+    seed: int = 0,
+) -> str:
+    """Twin of sketch.sampled_quantiles(hash_fn='md5') over documents
+    (grp=lang, v=n_chars): same seeded bottom-k-by-hash sample, same
+    two-phase selection, same type-7 quantile (quantile_cont)."""
+    two60 = 1 << 60
+    arr = ", ".join(str(p) for p in probs)
+    branches = " UNION ALL ".join(
+        f"SELECT grp, n_docs, n_sample, {int(round(p * 100))} AS pct,"
+        f" ROUND(qs[{i + 1}], 6) AS est, ROUND(qe[{i + 1}], 6) AS exact,"
+        f" ROUND(ABS(ROUND(qs[{i + 1}], 6) - ROUND(qe[{i + 1}], 6)), 6) AS abs_err"
+        f" FROM j"
+        for i, p in enumerate(probs)
+    )
+    return f"""
+WITH d AS (
+  SELECT lang AS grp, n_chars AS v, doc_id AS id,
+         ('0x' || substr(md5('{seed}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {two60} AS u
+  FROM documents
+),
+exact AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         quantile_cont(v, [{arr}]) AS qe
+  FROM d GROUP BY 1
+),
+s1 AS (
+  SELECT * FROM d
+  QUALIFY row_number() OVER (PARTITION BY grp, u % {n_salts} ORDER BY u, id) <= {k}
+),
+s2 AS (
+  SELECT * FROM s1
+  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY u, id) <= {k}
+),
+est AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_sample,
+         quantile_cont(v, [{arr}]) AS qs
+  FROM s2 GROUP BY 1
+),
+j AS (
+  SELECT e.grp, e.n_docs, s.n_sample, e.qe, s.qs
+  FROM exact e JOIN est s USING (grp)
+)
+{branches}
+"""

@@ -1073,3 +1073,16 @@ def q_evt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=0,
         hash_fn="md5",
     )
+
+
+def q_doc_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length quantiles from a bottom-k hash sample next to
+    the exact quantiles (sketch.sampled_quantiles; md5 draw for
+    bit-parity) — the engine-portable, mergeable alternative to
+    percentile_approx that q_doc_length_quantiles' docstring points at,
+    with its own error columns as the QA gate."""
+    from ttmf_spark.datapipe.sketch import sampled_quantiles
+
+    return sampled_quantiles(
+        _docs(spark, sf_dir), k=64, n_salts=16, seed=0, hash_fn="md5"
+    )
