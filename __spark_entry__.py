@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": Q.q_kg_kcore,
         "kg_communities": Q.q_kg_communities,
         "kg_components": Q.q_kg_components,
+        "kg_anf": Q.q_kg_anf,
         "kg_hits": Q.q_kg_hits,
         "kg_walks": Q.q_kg_walks,
         "kg_walk_pairs": Q.q_kg_walk_pairs,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": oracles_kg.kg_kcore_sql(),
         "kg_communities": oracles_kg.kg_communities_sql(),
         "kg_components": oracles_kg.kg_components_sql(),
+        "kg_anf": oracles_kg.kg_anf_sql(),
         "kg_hits": oracles_kg.kg_hits_sql(),
         "kg_walks": oracles_kg.kg_walks_sql(),
         "kg_walk_pairs": oracles_kg.kg_walk_pairs_sql(),

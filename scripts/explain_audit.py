@@ -558,6 +558,18 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # ANF neighborhood sizes: audited plan is the post-loop estimate
+    # join (each round localCheckpoints) — edge equi-joins + per-node
+    # top-k windows only, JVM-side, never a global sort
+    audit(
+        "kg_anf",
+        Q.q_kg_anf(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

@@ -793,3 +793,31 @@ def test_common_neighbor_ra_bounds(spark):
     assert cn == 2
     assert abs(ra - round(1 / 3 + 1 / 2, 6)) < 1e-9
     assert abs(aa - round(1 / math.log(3) + 1 / math.log(2), 6)) < 1e-9
+
+
+def test_anf_exact_below_k_and_hand_reach(spark):
+    """With k larger than every neighborhood the ANF sketch IS exact
+    (est == n_exact everywhere); the exact column matches hand-computed
+    closed 2-hop out-reach; truncation (tiny k) still estimates within
+    the KMV error band and is partitioning-invariant."""
+    # chain with a fan-out hub: 0->1->2->3, 1->{4,5,6}, isolated-ish 7->0
+    edges = [(0, 1), (1, 2), (2, 3), (1, 4), (1, 5), (1, 6), (7, 0)]
+    ids = spark.createDataFrame(
+        [(h, 0, t) for h, t in edges], "h long, r long, t long"
+    )
+    out = {r["node"]: r for r in
+           graph.anf_neighborhood_sizes(ids, depth=2, k=64).collect()}
+    # closed 2-hop out-reach: node 0 -> {0,1} u {2,4,5,6} ; node 1 -> {1,2,4,5,6,3}
+    expect = {0: 6, 1: 6, 2: 2, 3: 1, 4: 1, 5: 1, 6: 1, 7: 3}
+    assert {n: r["n_exact"] for n, r in out.items()} == expect
+    assert all(r["est"] == float(r["n_exact"]) for r in out.values())
+    assert all(r["rel_err"] == 0.0 for r in out.values())
+
+    tiny = graph.anf_neighborhood_sizes(ids, depth=2, k=4).collect()
+    again = graph.anf_neighborhood_sizes(
+        ids.repartition(5), depth=2, k=4
+    ).collect()
+    assert sorted(map(tuple, tiny)) == sorted(map(tuple, again))
+    # nodes below k stay exact even at k=4
+    small = [r for r in tiny if r["n_exact"] < 4]
+    assert small and all(r["rel_err"] == 0.0 for r in small)

@@ -685,3 +685,90 @@ def components(
         kwargs["driver_max_edges"] = driver_max_edges
     e = id_triples.select(F.col("h").alias("src"), F.col("t").alias("dst"))
     return connected_components(e, **kwargs)
+
+
+def anf_neighborhood_sizes(
+    id_triples: DataFrame,
+    depth: int = 2,
+    k: int = 16,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, n_exact, est, rel_err): closed depth-``depth``
+    out-neighborhood size per node, exact and KMV-estimated — the
+    approximate-neighborhood-function algorithm (ANF, Palmer et al. KDD
+    2002; HyperBall, Boldi & Vigna 2013) with a bottom-k sketch instead
+    of their probabilistic counters, because bottom-k is a pure function
+    of the id set and therefore cross-engine-gateable (the same reason
+    datapipe.sketch prefers KMV to HLL).
+
+    Recursion: S_0(v) = {h(v)};
+    S_{t+1}(v) = bottom-k(S_t(v) ∪ ⋃_{v->u} S_t(u)) — the min-k monoid
+    merges under truncation, so each round is one equi-join of the edge
+    list with the sketch rows plus a per-node top-k window (never a
+    global sort; rows are bounded by k·|E|). The exact reach set runs
+    the SAME recursion untruncated — it is the fixture-scale QA column
+    (reference reach_sets materializes true sets for 145 cores; at 10^9
+    nodes materializing ⋃|N_d(v)| is exactly what ANF exists to avoid).
+
+    Estimator: est = n (sketch holds the whole neighborhood) when the
+    node collected fewer than k hashes, else (k-1)·2^60 / h_(k).
+    Deterministic under any partitioning: seeded hashes, dedup on exact
+    integers.
+    """
+    from ttmf_spark.datapipe.dedup import u60
+
+    edges = id_triples.select(
+        F.col("h").alias("src"), F.col("t").alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sk = nodes.select(
+        "node", u60(F.col("node").cast("string"), seed=seed, fn=hash_fn).alias("hu")
+    )
+    exact = nodes.select("node", F.col("node").alias("member"))
+    w = Window.partitionBy("node").orderBy("hu")
+    for _ in range(depth):
+        inc = (
+            edges.join(
+                sk.withColumnRenamed("node", "_n"), F.col("dst") == F.col("_n")
+            )
+            .select(F.col("src").alias("node"), "hu")
+        )
+        sk = (
+            sk.unionByName(inc)
+            .distinct()
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .drop("_r")
+        )
+        incx = (
+            edges.join(
+                exact.withColumnRenamed("node", "_n"), F.col("dst") == F.col("_n")
+            )
+            .select(F.col("src").alias("node"), "member")
+        )
+        exact = exact.unionByName(incx).distinct()
+        if checkpoint:
+            sk = sk.localCheckpoint(eager=True)
+            exact = exact.localCheckpoint(eager=True)
+    ex = exact.groupBy("node").agg(F.count("*").alias("n_exact"))
+    s = sk.groupBy("node").agg(
+        F.max("hu").alias("_hk"), F.count("*").alias("_have")
+    )
+    est = F.when(F.col("_have") < k, F.col("_have").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("_hk").cast("double")
+    )
+    return (
+        ex.join(s, "node")
+        .withColumn("est", F.round(est, 6))
+        .withColumn(
+            "rel_err",
+            F.round(F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 6),
+        )
+        .select("node", "n_exact", "est", "rel_err")
+    )

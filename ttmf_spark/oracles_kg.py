@@ -595,3 +595,46 @@ def kg_components_sql(rounds: int = 8) -> str:
         f"WITH {KG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
         f"SELECT node, label AS component FROM c{rounds}"
     )
+
+
+def kg_anf_sql(k: int = 16, seed: int = 0) -> str:
+    """Twin of graph.anf_neighborhood_sizes(depth=2, hash_fn='md5'):
+    the 2-round bottom-k recursion unrolled, same seeded md5-60bit
+    member hashes, same UNION-dedup + per-node top-k per round, same
+    (k-1)*2^60/h_k estimator and below-k exact fallback."""
+    two60 = 1 << 60
+    hu = (
+        f"('0x' || substr(md5('{seed}' || CAST(node AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {two60}"
+    )
+    return f"""
+WITH {KG_BASE.strip()},
+e2 AS MATERIALIZED (SELECT DISTINCT h AS src, t AS dst FROM idt),
+n0 AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+s0 AS (SELECT node, {hu} AS hu FROM n0),
+u1 AS (SELECT node, hu FROM s0
+       UNION SELECT e2.src AS node, s0.hu FROM e2 JOIN s0 ON s0.node = e2.dst),
+s1 AS (SELECT node, hu FROM u1
+       QUALIFY row_number() OVER (PARTITION BY node ORDER BY hu) <= {k}),
+u2 AS (SELECT node, hu FROM s1
+       UNION SELECT e2.src AS node, s1.hu FROM e2 JOIN s1 ON s1.node = e2.dst),
+s2 AS (SELECT node, hu FROM u2
+       QUALIFY row_number() OVER (PARTITION BY node ORDER BY hu) <= {k}),
+x0 AS (SELECT node, node AS member FROM n0),
+x1 AS (SELECT node, member FROM x0
+       UNION SELECT e2.src AS node, x0.member FROM e2 JOIN x0 ON x0.node = e2.dst),
+x2 AS (SELECT node, member FROM x1
+       UNION SELECT e2.src AS node, x1.member FROM e2 JOIN x1 ON x1.node = e2.dst),
+ex AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_exact FROM x2 GROUP BY 1),
+sk AS (SELECT node, MAX(hu) AS hk, COUNT(*) AS have FROM s2 GROUP BY 1),
+j AS (
+  SELECT ex.node, ex.n_exact,
+         ROUND(CASE WHEN sk.have < {k} THEN CAST(sk.have AS DOUBLE)
+                    ELSE {float(k - 1)} * {float(two60)} / CAST(sk.hk AS DOUBLE)
+               END, 6) AS est
+  FROM ex JOIN sk ON ex.node = sk.node
+)
+SELECT node, n_exact, est,
+       ROUND(ABS(est - n_exact) / n_exact, 6) AS rel_err
+FROM j
+"""

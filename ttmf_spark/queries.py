@@ -1086,3 +1086,15 @@ def q_doc_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled_quantiles(
         _docs(spark, sf_dir), k=64, n_salts=16, seed=0, hash_fn="md5"
     )
+
+
+def q_kg_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node 2-hop neighborhood-size estimates via bottom-k ANF
+    sketches next to the exact reach counts (graph.anf_neighborhood_sizes;
+    md5 draw for bit-parity) — the scale path for 'how big is every
+    node's d-ball' that never materializes the reach sets."""
+    truth, e_dim, r_dim = _dims(spark, sf_dir)
+    ids = encode.encode_triples(truth, e_dim, r_dim)
+    return graph.anf_neighborhood_sizes(
+        ids, depth=2, k=16, seed=0, hash_fn="md5"
+    )
