@@ -155,3 +155,37 @@ def test_near_dup_stream_matches_batch(spark, tmp_path):
     assert g == b
     # the index sink carries bands rows per doc
     assert spark.read.parquet(index).count() == docs.count() * 16
+
+
+def test_cms_stream_matches_batch(spark, tmp_path):
+    """The streaming CMS counter table over two file drops equals the
+    batch cms_counts counter table on the same events: the counter
+    monoid makes the sketch incrementally maintainable with O(w*d)
+    state."""
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.datapipe.dedup import u60
+
+    ev = spark.read.parquet(f"{SF_UNIT}/events.parquet")
+    in_dir = str(tmp_path / "ev_in")
+    half = F.pmod(F.xxhash64("event_id"), F.lit(2)) == 0
+    ev.filter(half).write.mode("overwrite").parquet(in_dir)
+    ev.filter(~half).write.mode("append").parquet(in_dir)
+
+    q = streaming.cms_stream(
+        spark, in_dir, width=8, depth=3, query_name="cms_stream_t"
+    )
+    q.awaitTermination(300)
+    got = {(r["d"], r["cell"]): r["c"] for r in spark.table("cms_stream_t").collect()}
+
+    key_s = F.col("user_id").cast("string")
+    want = {}
+    for d in range(3):
+        rows = (
+            ev.select(F.pmod(u60(key_s, seed=d), F.lit(8)).cast("int").alias("cell"))
+            .groupBy("cell").agg(F.count("*").alias("c")).collect()
+        )
+        for r in rows:
+            want[(d, r["cell"])] = r["c"]
+    assert got == want
+    assert sum(got.values()) == ev.count() * 3

@@ -447,3 +447,63 @@ def near_dup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_stream(
+    spark: SparkSession,
+    input_dir: str,
+    key_col: str = "user_id",
+    width: int = 8,
+    depth: int = 3,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    query_name: str = "evt_cms_stream",
+):
+    """Streaming twin of ``datapipe.sketch.cms_counts``' counter table:
+    the width*depth Count-Min cells maintained as streaming-aggregation
+    state while event files land (file source -> cell groupBy ->
+    complete-mode memory sink).
+
+    This is the sketch property doing real work: counters are a
+    commutative monoid, so Structured Streaming's incremental hash-agg
+    state IS the sketch — every micro-batch folds in map-side, no
+    reprocessing, and the state is O(width*depth) regardless of stream
+    length (contrast dedup_stream, whose state grows with distinct
+    keys). After any prefix of the stream, the sink table equals the
+    batch ``cms_counts`` counter table over the same events — pinned by
+    test_cms_stream_matches_batch — so estimates made from it inherit
+    the batch one-sided guarantee.
+    """
+    from ttmf_spark.datapipe.dedup import u60
+
+    sdf = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+    key_s = F.col(key_col).cast("string")
+    cells = sdf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            u60(key_s, seed=seed + d, fn=hash_fn),
+                            F.lit(width),
+                        )
+                        .cast("int")
+                        .alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc")
+    ).select("dc.d", "dc.cell")
+    counters = cells.groupBy("d", "cell").agg(F.count("*").alias("c"))
+    return (
+        counters.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
