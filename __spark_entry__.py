@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid_eval": Q.q_doc_langid_eval,
         "doc_contamination": Q.q_doc_contamination,
         "doc_bloom_contamination": Q.q_doc_bloom_contamination,
+        "doc_dsir": Q.q_doc_dsir,
         "doc_pack_plan": Q.q_doc_pack_plan,
         "doc_stratified_sample": Q.q_doc_stratified_sample,
         "doc_pii_redact": Q.q_doc_pii_redact,
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation": oracles_docs.doc_curation_sql(),
         "doc_contamination": oracles_docs.doc_contamination_sql(),
         "doc_bloom_contamination": oracles_docs.doc_bloom_contamination_sql(m_bits=8192, k_hashes=3, n=3, seed=0, modulus=17),
+        "doc_dsir": oracles_docs.doc_dsir_sql(),
         "doc_pack_plan": oracles_docs.doc_pack_plan_sql(),
         "doc_stratified_sample": oracles_docs.doc_stratified_sample_sql(),
         "doc_pii_redact": oracles_docs.doc_pii_redact_sql(),

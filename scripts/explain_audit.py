@@ -570,6 +570,19 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # DSIR selection: two model-sized bucket aggs -> broadcast lambda
+    # table -> per-gram int lookup; the raw side shuffles once at the
+    # per-doc rollup, JVM-side end to end
+    audit(
+        "doc_dsir",
+        Q.q_doc_dsir(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

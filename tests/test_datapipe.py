@@ -855,3 +855,36 @@ def test_sampled_quantiles_exact_below_k_and_bounded_error(spark):
     # partitioning-invariance of the whole result
     again = sampled_quantiles(docs.repartition(13), k=64, n_salts=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs whose n-gram bag matches the target domain score higher than
+    off-domain docs, empty docs emit a clean zero row, and the result is
+    partitioning-invariant (exact-integer per-doc sums)."""
+    from ttmf_spark.datapipe import dsir
+
+    raw = spark.createDataFrame(
+        [
+            (1, "cats purr and cats nap on warm mats"),
+            (2, "the compiler emits llvm bytecode for the loop"),
+            (3, "cats chase mice while cats purr"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100, "cats purr cats nap cats play"), (101, "warm cats on mats")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dsir.dsir_scores(raw, target, n_buckets=512).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # cat docs beat the compiler doc; selected is exactly the sign rule
+    assert out[1]["logw"] > out[2]["logw"] and out[3]["logw"] > out[2]["logw"]
+    assert not out[2]["selected"]
+    assert all(r["selected"] == (r["logw"] > 0) for r in out.values())
+    # empty doc: present, zero grams, never selected
+    assert out[4]["n_grams"] == 0 and out[4]["logw"] == 0.0 and not out[4]["selected"]
+
+    again = {r["doc_id"]: r for r in
+             dsir.dsir_scores(raw.repartition(7), target, n_buckets=512).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}

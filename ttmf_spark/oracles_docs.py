@@ -1291,3 +1291,63 @@ j AS (
 )
 {branches}
 """
+
+
+def doc_dsir_sql(
+    n_buckets: int = 1024,
+    ns: tuple[int, ...] = (1, 2),
+    seed: int = 0,
+    target_lang: str = "en",
+) -> str:
+    """Twin of dsir.dsir_scores(hash_fn='md5') with target = lang-
+    filtered docs and raw = all documents: same every-occurrence hashed
+    n-grams, same Laplace-smoothed bucket models, same 1e-9 fixed-point
+    log-ratio and exact-integer per-doc sums."""
+    two60 = 1 << 60
+    bucket = (
+        f"CAST((('0x' || substr(md5('{seed}' || gram), 1, 15))::BIGINT"
+        f" % {two60}) % {n_buckets} AS INT)"
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT doc_id, lang, unnest(CASE WHEN len(l) >= {n} THEN "
+        f"[array_to_string(l[i+1:i+{n}], ' ') for i in range(0, len(l)-{n}+1)]"
+        f" ELSE [] END) AS gram FROM toks"
+        for n in ns
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS l
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, lang, gram, {bucket} AS bucket
+  FROM ({branches}) WHERE gram <> ''
+),
+ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS _ct FROM grams
+       WHERE lang = '{target_lang}' GROUP BY 1),
+cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS _cr FROM grams GROUP BY 1),
+tt AS (SELECT COUNT(*) AS n FROM grams WHERE lang = '{target_lang}'),
+tr AS (SELECT COUNT(*) AS n FROM grams),
+lam AS (
+  SELECT CAST(b.range AS INT) AS bucket,
+         CAST(ROUND((ln((COALESCE(ct._ct, 0) + 1) / ((SELECT n FROM tt) + {n_buckets}))
+                   - ln((COALESCE(cr._cr, 0) + 1) / ((SELECT n FROM tr) + {n_buckets})))
+                    * 1000000000) AS BIGINT) AS lam_fp
+  FROM range({n_buckets}) b
+  LEFT JOIN ct ON ct.bucket = b.range
+  LEFT JOIN cr ON cr.bucket = b.range
+),
+per_doc AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(lam.lam_fp) AS BIGINT) AS _s
+  FROM grams g JOIN lam ON lam.bucket = g.bucket
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+       ROUND(COALESCE(p._s, 0) / 1000000000.0, 6) AS logw,
+       COALESCE(p._s, 0) > 0 AS selected
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""

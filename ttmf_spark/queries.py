@@ -1098,3 +1098,18 @@ def q_kg_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.anf_neighborhood_sizes(
         ids, depth=2, k=16, seed=0, hash_fn="md5"
     )
+
+
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling scores: every doc scored by how much
+    more its hashed n-gram bag looks like the English slice (the stand-in
+    target domain) than the whole corpus (dsir.dsir_scores; md5 draw for
+    bit-parity) — the 'make the crawl look like the target' selection
+    pass."""
+    from ttmf_spark.datapipe import dsir
+
+    docs = _docs(spark, sf_dir)
+    return dsir.dsir_scores(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024,
+        ns=(1, 2), seed=0, hash_fn="md5",
+    )
