@@ -583,6 +583,50 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # JL projection: the matrix is literals compiled into the plan —
+    # scan-speed map, zero joins/shuffles/UDFs
+    audit(
+        "emb_project",
+        Q.q_emb_project(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython", "Exchange",
+                "Arguments: SinglePartition"],
+    )
+
+    # projection distortion gate: one m-keyed equi-join between the two
+    # halves of the deterministic pair sample, per-row folds only
+    audit(
+        "emb_projection_qa",
+        Q.q_emb_projection_qa(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # degree histogram: two map-side-combinable degree aggs + one
+    # bucket rollup over the node-sized frame, pure integer exprs
+    audit(
+        "kg_degree_hist",
+        Q.q_kg_degree_hist(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # snapshot diff: ONE co-partitioned full-outer join on the triple
+    # key, then a relation-dim-sized rollup
+    audit(
+        "kg_snapshot_diff",
+        Q.q_kg_snapshot_diff(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

@@ -888,3 +888,49 @@ def test_dsir_prefers_target_like_docs(spark):
     again = {r["doc_id"]: r for r in
              dsir.dsir_scores(raw.repartition(7), target, n_buckets=512).collect()}
     assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_jl_projection_matches_numpy_and_preserves_cosine(spark):
+    """project_embeddings equals the numpy Achlioptas replica, the
+    distortion gate's full-space cosine is the true cosine, and the JL
+    promise holds loosely (mean distortion well under the random-guess
+    level) — all partitioning-invariant."""
+    import numpy as np
+    from ttmf_spark.datapipe import project
+
+    rng = np.random.default_rng(7)
+    dim, k, n = 32, 12, 40
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    out = project.project_embeddings(emb, k=k, seed=3, dim=dim).toPandas()
+    assert len(out) == n * k
+
+    # numpy replica: same entries, same order of addition
+    entries = project.projection_entries(dim, k, seed=3)
+    sc = project._scale(k, 3)
+    got = {(r.vec_id, r.dim_i): r.val for r in out.itertuples()}
+    for i in range(n):
+        v = vecs[i].astype("float64")
+        for d in range(k):
+            acc = 0.0
+            for j, sign in entries[d]:
+                acc = acc + v[j] if sign > 0 else acc - v[j]
+            assert got[(i, d)] == round(acc * sc, 9)
+
+    qa = project.projection_distortion(emb, k=k, seed=3, dim=dim).toPandas()
+    assert len(qa) == n // 4
+    for r in qa.itertuples():
+        a, b = vecs[int(r.a)], vecs[int(r.b)]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_full - true_cos) < 1e-5
+    assert qa["abs_err"].mean() < 0.5  # JL: far better than uninformative
+
+    again = project.project_embeddings(
+        emb.repartition(9), k=k, seed=3, dim=dim
+    ).toPandas()
+    assert sorted(map(tuple, again.values.tolist())) == sorted(
+        map(tuple, out.values.tolist())
+    )

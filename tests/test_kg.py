@@ -821,3 +821,49 @@ def test_anf_exact_below_k_and_hand_reach(spark):
     # nodes below k stay exact even at k=4
     small = [r for r in tiny if r["n_exact"] < 4]
     assert small and all(r["rel_err"] == 0.0 for r in small)
+
+
+def test_degree_skew_profile_hand_graph(spark):
+    """Buckets are exact bit_length(deg)-1, sides independent, counts
+    exact — pinned on a hand graph with degrees 1, 2, 3, and 5."""
+    from ttmf_spark.kg import graph
+
+    # h=0 has out-deg 5, h=1 out-deg 2, h=2 out-deg 1;
+    # t=9 in-deg 3, t=8 in-deg 2, others in-deg 1
+    rows = [(0, 0, 9), (0, 0, 9), (0, 1, 8), (0, 2, 7), (0, 3, 6),
+            (1, 0, 9), (1, 1, 8), (2, 0, 5)]
+    idt = spark.createDataFrame(rows, ["h", "r", "t"])
+    out = {(r.side, r.bucket): r for r in
+           graph.degree_skew_profile(idt).collect()}
+    # out-side: deg 5 -> bucket 2; deg 2 -> 1; deg 1 -> 0
+    assert out[("out", 2)].n_nodes == 1 and out[("out", 2)].max_deg == 5
+    assert out[("out", 1)].n_nodes == 1 and out[("out", 1)].n_edges == 2
+    assert out[("out", 0)].n_nodes == 1
+    # in-side: deg 3 (t=9) -> bucket 1 together with deg 2 (t=8)
+    assert out[("in", 1)].n_nodes == 2 and out[("in", 1)].n_edges == 5
+    assert out[("in", 1)].max_deg == 3
+    assert out[("in", 0)].n_nodes == 3  # t=7, 6, 5
+    assert sum(r.n_edges for k, r in out.items() if k[0] == "out") == len(rows)
+
+
+def test_snapshot_diff_counts(spark):
+    """added/removed/kept partition the union per relation; duplicates
+    collapse before counting; disjoint relations appear one-sided."""
+    from ttmf_spark.kg import graph
+
+    old = spark.createDataFrame(
+        [("a", "p1", "x"), ("a", "p1", "x"), ("b", "p1", "y"), ("c", "p2", "z")],
+        ["s", "p", "o"],
+    )
+    new = spark.createDataFrame(
+        [("a", "p1", "x"), ("d", "p1", "w"), ("e", "p3", "v")],
+        ["s", "p", "o"],
+    )
+    out = {r.p: r for r in graph.snapshot_diff(old, new).collect()}
+    assert out["p1"].n_old == 2 and out["p1"].n_new == 2
+    assert out["p1"].n_kept == 1 and out["p1"].n_added == 1 and out["p1"].n_removed == 1
+    assert out["p2"].n_old == 1 and out["p2"].n_new == 0 and out["p2"].n_removed == 1
+    assert out["p3"].n_new == 1 and out["p3"].n_old == 0 and out["p3"].n_added == 1
+    for r in out.values():
+        assert r.n_old == r.n_kept + r.n_removed
+        assert r.n_new == r.n_kept + r.n_added

@@ -772,3 +772,69 @@ def anf_neighborhood_sizes(
         )
         .select("node", "n_exact", "est", "rel_err")
     )
+
+
+def degree_skew_profile(id_triples: DataFrame) -> DataFrame:
+    """(side, bucket, n_nodes, n_edges, max_deg): log2-bucketed degree
+    histogram of the KG, out-side (h) and in-side (t) separately — the
+    hub audit behind every salting / broadcast decision in this engine
+    (a bucket-12 entity means a 4096-fan join key; SURVEY §4 prescribes
+    salting exactly when this profile shows such buckets).
+
+    ``bucket`` is bit_length(degree) - 1 computed via base-2 string
+    length — exact integer semantics, immune to the log2(8)=2.9999...
+    float hazard that makes FLOOR(LOG2(x)) engine-dependent. Everything
+    downstream is integer counts: tol=0 across engines.
+
+    Scale: two map-side-combinable (node)->degree aggs over the triple
+    scan, then a bucket-count agg over the node-sized frame; output is
+    <=2*64 rows. No reference analogue (the reference never audits its
+    graph); first-class pipeline QA here.
+    """
+    sides = []
+    for side, col in (("out", "h"), ("in", "t")):
+        deg = id_triples.groupBy(F.col(col).alias("node")).agg(
+            F.count("*").alias("deg")
+        )
+        sides.append(deg.select(F.lit(side).alias("side"), "deg"))
+    degs = sides[0].unionByName(sides[1])
+    bucket = (F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1).cast("int")
+    return (
+        degs.withColumn("bucket", bucket)
+        .groupBy("side", "bucket")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("deg").alias("n_edges"),
+            F.max("deg").alias("max_deg"),
+        )
+    )
+
+
+def snapshot_diff(old_triples: DataFrame, new_triples: DataFrame) -> DataFrame:
+    """(p, n_old, n_new, n_added, n_removed, n_kept) per relation — the
+    churn report between two KG snapshots (yesterday's corpus vs
+    today's): the QA a pipeline runs after every incremental rebuild to
+    catch extraction regressions (a relation suddenly losing half its
+    triples) before the graph ships.
+
+    Full-outer join on the whole (s, p, o) key — at 10^12 triples this
+    is ONE co-partitioned sort-merge join (both sides hash the same
+    key), and with both snapshots stored bucketed by the same key it is
+    shuffle-free. Output is relation-dim-sized. All-integer: tol=0.
+    """
+    o = old_triples.select("s", "p", "o").distinct().withColumn("_o", F.lit(1))
+    n = new_triples.select("s", "p", "o").distinct().withColumn("_n", F.lit(1))
+    j = o.join(n, ["s", "p", "o"], "full_outer")
+    return j.groupBy("p").agg(
+        F.sum(F.coalesce("_o", F.lit(0))).alias("n_old"),
+        F.sum(F.coalesce("_n", F.lit(0))).alias("n_new"),
+        F.sum(
+            F.when(F.col("_o").isNull() & F.col("_n").isNotNull(), 1).otherwise(0)
+        ).alias("n_added"),
+        F.sum(
+            F.when(F.col("_n").isNull() & F.col("_o").isNotNull(), 1).otherwise(0)
+        ).alias("n_removed"),
+        F.sum(
+            F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), 1).otherwise(0)
+        ).alias("n_kept"),
+    )

@@ -1351,3 +1351,62 @@ SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
+
+
+def _proj_sum_sql(entries_col: list, scale: float) -> str:
+    """Chained +-CAST(embedding[j+1] AS DOUBLE) sum in ascending j —
+    the same left-to-right IEEE addition order the Spark expression
+    uses, so both engines agree bit-for-bit before ROUND."""
+    expr = "0.0"
+    for j, sign in entries_col:
+        term = f"CAST(embedding[{j + 1}] AS DOUBLE)"
+        expr = f"({expr} {'+' if sign > 0 else '-'} {term})"
+    return f"ROUND({expr} * {scale!r}, 9)"
+
+
+def emb_project_sql(k: int = 16, seed: int = 0, s: int = 3, dim: int = 64) -> str:
+    """Twin of project.project_embeddings: identical Achlioptas entries
+    (same seeded generator, inlined), identical chained-sum order."""
+    from ttmf_spark.datapipe.project import _scale, projection_entries
+
+    entries = projection_entries(dim, k, seed, s)
+    sc = _scale(k, s)
+    branches = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({i} AS INT) AS dim_i,"
+        f" {_proj_sum_sql(entries[i], sc)} AS val FROM embeddings"
+        for i in range(k)
+    )
+    return branches
+
+
+def emb_projection_qa_sql(
+    k: int = 16, seed: int = 0, s: int = 3, dim: int = 64, pair_mod: int = 2
+) -> str:
+    """Twin of project.projection_distortion: unit-space cosine of the
+    raw 64-dim vectors vs of the k-dim projections on the deterministic
+    (4m, 4m+2) pair sample; per-row list folds only (emb_topk numerics
+    contract)."""
+    from ttmf_spark.datapipe.project import _scale, projection_entries
+
+    entries = projection_entries(dim, k, seed, s)
+    sc = _scale(k, s)
+    plist = ", ".join(_proj_sum_sql(entries[i], sc) for i in range(k))
+    return f"""
+WITH {_UNIT_EMB.strip()},
+p AS (SELECT vec_id, [{plist}] AS pv FROM embeddings),
+pn AS (SELECT vec_id, pv, sqrt(list_sum(list_transform(pv, x -> x * x))) AS nrm FROM p),
+pun AS (SELECT vec_id,
+               CASE WHEN nrm > 0 THEN list_transform(pv, x -> x / nrm) ELSE pv END AS up
+        FROM pn),
+base AS (SELECT un.vec_id, un.uv, pun.up FROM un JOIN pun ON un.vec_id = pun.vec_id),
+a AS (SELECT CAST(vec_id / 2 AS BIGINT) AS m, vec_id AS a, uv AS uva, up AS upa
+      FROM base WHERE vec_id % {2 * pair_mod} = 0),
+b AS (SELECT CAST((vec_id - {pair_mod}) / 2 AS BIGINT) AS m, vec_id AS b, uv AS uvb, up AS upb
+      FROM base WHERE vec_id % {2 * pair_mod} = {pair_mod})
+SELECT a.a, b.b,
+       ROUND(list_dot_product(a.uva, b.uvb), 6) AS cos_full,
+       ROUND(list_dot_product(a.upa, b.upb), 6) AS cos_proj,
+       ROUND(ABS(ROUND(list_dot_product(a.uva, b.uvb), 6)
+               - ROUND(list_dot_product(a.upa, b.upb), 6)), 6) AS abs_err
+FROM a JOIN b ON a.m = b.m
+"""

@@ -638,3 +638,52 @@ SELECT node, n_exact, est,
        ROUND(ABS(est - n_exact) / n_exact, 6) AS rel_err
 FROM j
 """
+
+
+def kg_degree_hist_sql() -> str:
+    """Twin of graph.degree_skew_profile: bucket = bit_length(deg)-1 via
+    base-2 string length (exact integers; no FLOOR(LOG2()) float hazard)."""
+    return f"""
+WITH {KG_BASE},
+degs AS (
+  SELECT 'out' AS side, h AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM idt GROUP BY 1, 2
+  UNION ALL
+  SELECT 'in', t, CAST(COUNT(*) AS BIGINT) FROM idt GROUP BY 1, 2
+)
+SELECT side, CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(deg) AS BIGINT) AS n_edges,
+       CAST(MAX(deg) AS BIGINT) AS max_deg
+FROM degs GROUP BY 1, 2
+"""
+
+
+def kg_snapshot_diff_sql(seed: int = 9) -> str:
+    """Twin of queries.q_kg_snapshot_diff: same md5 60-bit triple-key
+    draw (dedup.u60 contract) picking the two 90% snapshots, same
+    full-outer churn counts."""
+    from ttmf_spark.oracles import truth_triples_sql
+
+    bucket = (
+        f"(('0x' || substr(md5('{seed}' || s || '|' || p || '|' || o), 1, 15))::BIGINT"
+        f" % {1 << 60}) % 10"
+    )
+    return f"""
+WITH triples AS ({truth_triples_sql()}),
+keyed AS (SELECT s, p, o, {bucket} AS b FROM triples),
+old AS (SELECT DISTINCT s, p, o FROM keyed WHERE b <> 0),
+new AS (SELECT DISTINCT s, p, o FROM keyed WHERE b <> 1),
+j AS (
+  SELECT COALESCE(old.p, new.p) AS p,
+         (old.s IS NOT NULL) AS in_old, (new.s IS NOT NULL) AS in_new
+  FROM old FULL OUTER JOIN new
+    ON old.s = new.s AND old.p = new.p AND old.o = new.o
+)
+SELECT p,
+       CAST(SUM(CASE WHEN in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       CAST(SUM(CASE WHEN in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM j GROUP BY p
+"""

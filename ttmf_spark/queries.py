@@ -1113,3 +1113,44 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, docs.filter(F.col("lang") == "en"), n_buckets=1024,
         ns=(1, 2), seed=0, hash_fn="md5",
     )
+
+
+def q_emb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection of the embedding table to 16 dims (long
+    form; project.project_embeddings) — the pre-shrink before ANN /
+    clustering when raw float32 vectors are too wide to serve."""
+    from ttmf_spark.datapipe import project
+
+    return project.project_embeddings(_emb(spark, sf_dir), k=16, seed=0, dim=64)
+
+
+def q_emb_projection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection trust gate: per-pair cosine distortion (full vs
+    projected space) on the deterministic (4m, 4m+2) pair sample
+    (project.projection_distortion)."""
+    from ttmf_spark.datapipe import project
+
+    return project.projection_distortion(_emb(spark, sf_dir), k=16, seed=0, dim=64)
+
+
+def q_kg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed in/out degree histogram of the constructed KG
+    (graph.degree_skew_profile) — the hub/skew audit behind salting and
+    broadcast decisions."""
+    idt, _ = _id_triples(spark, sf_dir)
+    return graph.degree_skew_profile(idt)
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation churn between two deterministic 90% snapshots of the
+    extracted triple set (graph.snapshot_diff; md5 bucket on the triple
+    key picks the snapshots so the oracle draws bit-identically) — the
+    incremental-rebuild QA report."""
+    from ttmf_spark.datapipe.dedup import u60
+
+    truth, _, _ = _dims(spark, sf_dir)
+    key = F.concat_ws("|", "s", "p", "o")
+    b = F.pmod(u60(key, seed=9, fn="md5"), F.lit(10))
+    old = truth.filter(b != 0)
+    new = truth.filter(b != 1)
+    return graph.snapshot_diff(old, new)
