@@ -627,6 +627,18 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # ER clusters: blocked pair join + star-contraction rounds (each
+    # localCheckpointed) + one size rollup; audited plan is the
+    # post-contraction label/size join
+    audit(
+        "kg_er_clusters",
+        Q.q_kg_er_clusters(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

@@ -104,3 +104,38 @@ def test_er_blocking_candidates(spark):
         ["surface"],
     )
     assert er_blocking_candidates(many, tau=0.0, max_block=50).count() == 0
+
+
+def test_er_clusters_transitive_and_singletons(spark):
+    """Candidate pairs collapse transitively into one cluster labeled by
+    the lexicographic min; names with no candidate stay singletons; sizes
+    sum to the input surface count."""
+    from ttmf_spark.extract.blocking import er_clusters
+
+    names = spark.createDataFrame(
+        [("Customer#15",), ("CustomerAlt#15",), ("CUST-15",),
+         ("Customer#16",), ("acme corp",), ("ACME-Corp",), ("Zeta Inc",)],
+        ["surface"],
+    )
+    out = {r["surface"]: r for r in er_clusters(names, tau=0.4).collect()}
+    assert set(out) == {r[0] for r in names.collect()} == set(out.keys())
+    # Customer#15 ~ CustomerAlt#15 (trigram sim 6/13 >= 0.4) cluster
+    # under the lexicographic min member; CUST-15's sims are ~0.2 so it
+    # stays a singleton even though it shares the block
+    assert out["Customer#15"]["canonical"] == "Customer#15"
+    assert out["CustomerAlt#15"]["canonical"] == "Customer#15"
+    assert out["Customer#15"]["cluster_size"] == 2
+    assert out["CUST-15"]["canonical"] == "CUST-15"
+    assert out["CUST-15"]["cluster_size"] == 1
+    # digitless exact-normalization pair
+    assert out["acme corp"]["canonical"] == out["ACME-Corp"]["canonical"] == "ACME-Corp"
+    # singletons map to themselves with size 1
+    assert out["Zeta Inc"]["canonical"] == "Zeta Inc"
+    assert out["Zeta Inc"]["cluster_size"] == 1
+    assert out["Customer#16"]["cluster_size"] == 1
+    assert sum({r["canonical"]: r["cluster_size"] for r in out.values()}.values()) == 7
+
+    # distributed star-contraction path agrees with the driver path
+    dist = {r["surface"]: (r["canonical"], r["cluster_size"])
+            for r in er_clusters(names, tau=0.4, driver_max_edges=0).collect()}
+    assert dist == {k: (v["canonical"], v["cluster_size"]) for k, v in out.items()}

@@ -93,3 +93,49 @@ def er_blocking_candidates(
         .filter(F.col("sim") >= tau)
         .select("a", "b", F.round("sim", 6).alias("sim"))
     )
+
+
+def er_clusters(
+    names: DataFrame,
+    tau: float = 0.4,
+    max_block: int = 50,
+    name_col: str = "surface",
+    driver_max_edges: int | None = None,
+) -> DataFrame:
+    """(surface, canonical, cluster_size): the full entity-resolution
+    step — candidate pairs from :func:`er_blocking_candidates` become
+    same-as edges, connected components collapse them (same Kiveris
+    star-contraction as the alias canonicalizer), the lexicographically
+    smallest member names the cluster, and every input surface appears
+    (singletons map to themselves with size 1). This is the table a
+    construction pipeline broadcast-joins back onto mentions when no
+    curated alias dim exists.
+
+    Scale shape: blocking bounds the pair join (max_block^2 per block),
+    CC is O(log n) equi-join rounds, the size rollup is one
+    cluster-keyed count — no stage touches more than the candidate
+    edges + one row per distinct surface.
+    """
+    from ttmf_spark.extract.canonicalize import connected_components
+
+    surfaces = names.select(F.col(name_col).alias("surface")).distinct()
+    pairs = er_blocking_candidates(
+        names, tau=tau, max_block=max_block, name_col=name_col
+    )
+    kwargs = {} if driver_max_edges is None else {"driver_max_edges": driver_max_edges}
+    cc = connected_components(pairs, src="a", dst="b", **kwargs)
+    labeled = (
+        surfaces.join(
+            cc.select(F.col("node").alias("surface"), "component"),
+            "surface",
+            "left",
+        )
+        .select(
+            "surface",
+            F.coalesce("component", F.col("surface")).alias("canonical"),
+        )
+    )
+    sizes = labeled.groupBy("canonical").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "canonical").select(
+        "surface", "canonical", "cluster_size"
+    )

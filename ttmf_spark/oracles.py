@@ -194,3 +194,41 @@ FROM db a JOIN db b ON a.key = b.key AND a.name < b.name
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / len(list_distinct(list_concat(a.g, b.g))) >= {tau}
 """
+
+
+def kg_er_clusters_sql(tau: float = 0.4, max_block: int = 50, rounds: int = 8) -> str:
+    """Twin of extract.blocking.er_clusters: the candidate-pair twin
+    (kg_er_candidates_sql) feeds a fixed-sweep pointer-jumping min-label
+    recurrence (the kg_components_sql pattern, VARCHAR labels — binary
+    collation matches Spark's UTF8 ordering on these ASCII surfaces);
+    singletons label themselves, sizes roll up per canonical."""
+    parts = [
+        f"cand AS MATERIALIZED ({kg_er_candidates_sql(tau, max_block)})",
+        f"allnames AS (WITH {_SURFACES.strip()} SELECT DISTINCT surface FROM surfaces)",
+        "und AS MATERIALIZED ("
+        "  SELECT a AS node, b AS nbr FROM cand"
+        "  UNION"
+        "  SELECT b AS node, a AS nbr FROM cand)",
+        "c0 AS (SELECT surface AS node, surface AS label FROM allnames)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED ("
+            f"  SELECT l.node, LEAST(l.label,"
+            f"                       COALESCE(nb.m, l.label),"
+            f"                       COALESCE(j.label, l.label)) AS label"
+            f"  FROM c{i - 1} l"
+            f"  LEFT JOIN (SELECT u.node AS node, MIN(x.label) AS m"
+            f"             FROM und u JOIN c{i - 1} x ON x.node = u.nbr"
+            f"             GROUP BY u.node) nb ON nb.node = l.node"
+            f"  LEFT JOIN c{i - 1} j ON j.node = l.label)"
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+labeled AS (SELECT node AS surface, label AS canonical FROM c{rounds}),
+sizes AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM labeled GROUP BY canonical)
+SELECT l.surface, l.canonical, s.cluster_size
+FROM labeled l JOIN sizes s ON l.canonical = s.canonical
+"""

@@ -1154,3 +1154,18 @@ def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = truth.filter(b != 0)
     new = truth.filter(b != 1)
     return graph.snapshot_diff(old, new)
+
+
+def q_kg_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocking candidates -> star-
+    contraction connected components -> lexicographic-min canonical +
+    cluster size, singletons included (blocking.er_clusters;
+    driver_max_edges=0 so the distributed contraction itself runs)."""
+    from ttmf_spark.extract.blocking import er_clusters
+
+    surf = (
+        corpus.gazetteer(spark, sf_dir)
+        .filter(~F.col("surface").startswith("media://"))
+        .select("surface")
+    )
+    return er_clusters(surf, tau=0.4, max_block=50, driver_max_edges=0)
