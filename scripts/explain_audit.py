@@ -639,6 +639,28 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # by-category rank metrics: rank rows join a broadcast dim-sized
+    # category table, then one small agg
+    audit(
+        "kg_rank_metrics_by_cat",
+        Q.q_kg_rank_metrics_by_cat(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython"],
+    )
+
+    # caption alignment: per-doc windows over the span scan, no join
+    # across documents, no UDF
+    audit(
+        "media_caption_pairs",
+        Q.q_media_caption_pairs(spark, sf_dir),
+        out,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:

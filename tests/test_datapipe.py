@@ -934,3 +934,49 @@ def test_jl_projection_matches_numpy_and_preserves_cosine(spark):
     assert sorted(map(tuple, again.values.tolist())) == sorted(
         map(tuple, out.values.tolist())
     )
+
+
+def test_caption_pairs_nearest_with_preceding_tie(spark):
+    """Caption rule pinned on a crafted doc: preceding text wins distance
+    ties, following text wins when strictly nearer, out-of-gap media
+    emits NULL caption, text spans never emit rows."""
+    from ttmf_spark.datapipe.multimodal import caption_pairs, interleave_stats
+
+    rows = [
+        # doc A: text(0), image(1) -> prev at gap 1
+        ("A", 0, "text", "alpha", None),
+        ("A", 1, "image", None, "m://1"),
+        # doc A: image(2) equidistant between text(1)? no — text(0) at 2,
+        # text(3) at 1 -> following strictly nearer
+        ("A", 2, "image", None, "m://2"),
+        ("A", 3, "text", "beta", None),
+        # doc B: image(0) then text(1): only following
+        ("B", 0, "video", None, "m://3"),
+        ("B", 1, "text", "gamma", None),
+        # doc B: audio(4) -> nearest text at distance 3 > max_gap=2 -> NULL
+        ("B", 4, "audio", None, "m://4"),
+    ]
+    flat = spark.createDataFrame(
+        rows, ["doc_id", "pos", "kind", "text", "media_ref"]
+    )
+    out = {(r.doc_id, r.pos): r for r in caption_pairs(flat, max_gap=2).collect()}
+    assert set(out) == {("A", 1), ("A", 2), ("B", 0), ("B", 4)}
+    assert out[("A", 1)].caption_text == "alpha"          # preceding
+    assert out[("A", 2)].caption_text == "beta"           # following nearer
+    assert out[("B", 0)].caption_text == "gamma"          # only following
+    assert out[("B", 4)].caption_pos is None              # out of gap
+
+    # equidistant tie prefers the PRECEDING text
+    tie = spark.createDataFrame(
+        [("C", 0, "text", "before", None),
+         ("C", 1, "image", None, "m://5"),
+         ("C", 2, "text", "after", None)],
+        ["doc_id", "pos", "kind", "text", "media_ref"],
+    )
+    t = caption_pairs(tie, max_gap=2).collect()[0]
+    assert t.caption_text == "before" and t.caption_pos == 0
+
+    stats = {r.kind: r for r in interleave_stats(flat).collect()}
+    assert stats["image"].n_spans == 2 and stats["image"].n_docs == 1
+    assert stats["text"].n_refs == 0
+    assert stats["image"].spans_per_doc == 2.0

@@ -867,3 +867,25 @@ def test_snapshot_diff_counts(spark):
     for r in out.values():
         assert r.n_old == r.n_kept + r.n_removed
         assert r.n_new == r.n_kept + r.n_added
+
+
+def test_rank_metrics_by_category_slices(spark):
+    """Per-key metrics equal the global metrics computed on each key's
+    rank subset; keys partition the queries."""
+    from ttmf_spark.kg import evaluate
+
+    ranks = spark.createDataFrame(
+        [(1, 10, 1), (2, 10, 5), (3, 11, 2), (4, 11, 20), (5, 11, 1)],
+        ["h", "r", "rank"],
+    )
+    cats = spark.createDataFrame(
+        [(10, "1-1"), (11, "N-N")], ["r", "category"]
+    )
+    out = {r["category"]: r for r in
+           evaluate.rank_metrics_by(ranks, cats).collect()}
+    assert out["1-1"]["n_queries"] == 2 and out["N-N"]["n_queries"] == 3
+    assert out["1-1"]["hits1"] == 0.5
+    assert out["1-1"]["mean_rank"] == 3.0
+    assert out["1-1"]["mrr"] == round((1.0 + 1 / 5) / 2, 6)
+    assert out["N-N"]["hits10"] == round(2 / 3, 6)
+    assert out["N-N"]["mean_rank"] == round(23 / 3, 6)

@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FEATURE_DIM = 16
@@ -123,4 +123,84 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col("dur") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ms"),
+    )
+
+
+def interleave_stats(flat: DataFrame) -> DataFrame:
+    """(kind, n_spans, n_docs, n_refs, spans_per_doc): the per-modality
+    interleaving profile of the corpus — how much of each payload kind
+    the docs carry and how it spreads across documents. The audit a
+    multimodal pipeline runs before sizing decode capacity (images per
+    doc drives the mapInPandas batch budget).
+
+    One map-side-combinable agg over the span scan; ``spans_per_doc`` is
+    a single division of two exact counts rounded once (never an
+    accumulated float). Output is modality-dim-sized.
+    """
+    return (
+        flat.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("media_ref").alias("n_refs"),
+        )
+        .withColumn(
+            "spans_per_doc",
+            F.round(F.col("n_spans") / F.col("n_docs").cast("double"), 6),
+        )
+    )
+
+
+def caption_pairs(flat: DataFrame, max_gap: int = 2) -> DataFrame:
+    """(doc_id, pos, kind, media_ref, caption_pos, caption_text): each
+    media span paired with its caption candidate — the nearest text span
+    within ``max_gap`` positions, preceding preferred on distance ties —
+    the alignment step that turns interleaved documents into
+    (image, caption) training pairs (CLIP-style). Media spans with no
+    text neighbor in range emit caption_pos = NULL (the QA remainder).
+
+    Per-document windows only (two ignore-nulls scans over the span
+    order, one preceding, one following) — a document's spans sort
+    within one task, documents spread freely across the cluster; nothing
+    ever joins across documents.
+    """
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    tpos = F.when(F.col("kind") == "text", F.col("pos"))
+    ttxt = F.when(F.col("kind") == "text", F.col("text"))
+    d = (
+        flat.withColumn("_ppos", F.last(tpos, ignorenulls=True).over(w_prev))
+        .withColumn("_ptxt", F.last(ttxt, ignorenulls=True).over(w_prev))
+        .withColumn("_npos", F.first(tpos, ignorenulls=True).over(w_next))
+        .withColumn("_ntxt", F.first(ttxt, ignorenulls=True).over(w_next))
+    )
+    pd_ = F.col("pos") - F.col("_ppos")
+    nd = F.col("_npos") - F.col("pos")
+    prev_ok = F.col("_ppos").isNotNull() & (pd_ <= max_gap)
+    next_ok = F.col("_npos").isNotNull() & (nd <= max_gap)
+    use_prev = prev_ok & (~next_ok | (pd_ <= nd))
+    use_next = next_ok & ~use_prev
+    return (
+        d.filter(F.col("kind") != "text")
+        .select(
+            "doc_id",
+            "pos",
+            "kind",
+            "media_ref",
+            F.when(use_prev, F.col("_ppos"))
+            .when(use_next, F.col("_npos"))
+            .cast("int")
+            .alias("caption_pos"),
+            F.when(use_prev, F.col("_ptxt"))
+            .when(use_next, F.col("_ntxt"))
+            .alias("caption_text"),
+        )
     )

@@ -122,3 +122,22 @@ def calibration_table(labeled: DataFrame, n_bins: int = 10) -> DataFrame:
             ).alias("pos_rate"),
         )
     )
+
+
+def rank_metrics_by(ranks: DataFrame, keys: DataFrame, on: str = "r") -> DataFrame:
+    """W4 metrics sliced by a dim-sized key table (e.g. the Bordes
+    relation category from graph.relation_profile): (key..., n_queries,
+    hits1, hits10, mean_rank, mrr) — the standard FB15k-style breakdown
+    (1-1 relations rank far better than N-N; an aggregate-only metric
+    hides that). ``keys`` must be dim-sized; it is broadcast onto the
+    rank rows so nothing reshuffles.
+    """
+    group_cols = [c for c in keys.columns if c != on]
+    j = ranks.join(F.broadcast(keys), on)
+    return j.groupBy(*group_cols).agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg(F.when(F.col("rank") <= 1, 1.0).otherwise(0.0)), 6).alias("hits1"),
+        F.round(F.avg(F.when(F.col("rank") <= 10, 1.0).otherwise(0.0)), 6).alias("hits10"),
+        F.round(F.avg(F.col("rank").cast("double")), 6).alias("mean_rank"),
+        F.round(F.avg(1.0 / F.col("rank")), 6).alias("mrr"),
+    )

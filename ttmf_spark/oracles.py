@@ -232,3 +232,66 @@ sizes AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS cluster_size
 SELECT l.surface, l.canonical, s.cluster_size
 FROM labeled l JOIN sizes s ON l.canonical = s.canonical
 """
+
+
+_FLAT = """
+flat AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sort1, tie1, tie2, sort2) - 1 AS INT) AS pos,
+         kind, text, media_ref
+  FROM raw
+)
+"""
+
+
+def media_interleave_stats_sql() -> str:
+    """Twin of multimodal.interleave_stats over the span surface."""
+    return f"""
+WITH raw AS ({raw_spans_sql()}),
+{_FLAT.strip()}
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT media_ref) AS BIGINT) AS n_refs,
+       ROUND(COUNT(*) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE), 6) AS spans_per_doc
+FROM flat GROUP BY kind
+"""
+
+
+def media_caption_pairs_sql(max_gap: int = 2) -> str:
+    """Twin of multimodal.caption_pairs: same two ignore-nulls window
+    scans per document, same nearest-with-preceding-tie caption rule."""
+    return f"""
+WITH raw AS ({raw_spans_sql()}),
+{_FLAT.strip()},
+d AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN kind = 'text' THEN pos END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ppos,
+         LAST_VALUE(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ptxt,
+         FIRST_VALUE(CASE WHEN kind = 'text' THEN pos END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS npos,
+         FIRST_VALUE(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ntxt
+  FROM flat
+),
+rules AS (
+  SELECT *,
+         (ppos IS NOT NULL AND pos - ppos <= {max_gap}) AS prev_ok,
+         (npos IS NOT NULL AND npos - pos <= {max_gap}) AS next_ok
+  FROM d WHERE kind <> 'text'
+)
+SELECT doc_id, pos, kind, media_ref,
+       CAST(COALESCE(
+         CASE WHEN prev_ok AND (NOT next_ok OR pos - ppos <= npos - pos) THEN ppos
+              WHEN next_ok THEN npos END, -1) AS INT) AS caption_pos,
+       COALESCE(
+         CASE WHEN prev_ok AND (NOT next_ok OR pos - ppos <= npos - pos) THEN ptxt
+              WHEN next_ok THEN ntxt END, '') AS caption_text
+FROM rules
+"""

@@ -261,3 +261,34 @@ SELECT bin, COUNT(*) AS n,
        ROUND(AVG(CASE WHEN flag = 1 THEN 1.0 ELSE 0.0 END), 6) AS pos_rate
 FROM binned GROUP BY bin
 """
+
+
+def kg_rank_metrics_by_cat_sql() -> str:
+    """Twin of queries.q_kg_rank_metrics_by_cat: the filtered-rank CTE
+    joined to the Bordes category table (nested relation-profile twin),
+    same per-category W4 metrics."""
+    return f"""
+WITH {KG_BASE.strip()},
+{_lp_ranked().strip()},
+cat AS MATERIALIZED (
+  SELECT tphs.r,
+         CASE WHEN tph < 1.5 AND hpt < 1.5 THEN '1-1'
+              WHEN tph >= 1.5 AND hpt < 1.5 THEN '1-N'
+              WHEN tph < 1.5 AND hpt >= 1.5 THEN 'N-1'
+              ELSE 'N-N' END AS category
+  FROM (SELECT r, AVG(_n) AS tph
+        FROM (SELECT r, h, COUNT(*) AS _n FROM idt GROUP BY r, h) GROUP BY r) tphs
+  JOIN (SELECT r, AVG(_n) AS hpt
+        FROM (SELECT r, t, COUNT(*) AS _n FROM idt GROUP BY r, t) GROUP BY r) hpts
+    ON tphs.r = hpts.r
+)
+SELECT c.category,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(CASE WHEN rnk <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+       ROUND(AVG(CASE WHEN rnk <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10,
+       ROUND(AVG(CAST(rnk AS DOUBLE)), 6) AS mean_rank,
+       ROUND(AVG(1.0 / rnk), 6) AS mrr
+FROM ranked JOIN cat c ON ranked.r = c.r
+WHERE is_true
+GROUP BY c.category
+"""

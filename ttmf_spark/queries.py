@@ -1169,3 +1169,36 @@ def q_kg_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("surface")
     )
     return er_clusters(surf, tau=0.4, max_block=50, driver_max_edges=0)
+
+
+def q_kg_rank_metrics_by_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction metrics sliced by the Bordes relation category
+    (evaluate.rank_metrics_by x graph.relation_profile) — the FB15k-style
+    breakdown that shows WHERE ranking quality lives (1-1 vs N-N)."""
+    ranks = q_kg_link_prediction(spark, sf_dir)
+    idt, _ = _id_triples(spark, sf_dir)
+    cats = graph.relation_profile(idt).select("r", "category")
+    return evaluate.rank_metrics_by(ranks, cats, on="r")
+
+
+def q_media_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality interleaving profile of the corpus
+    (multimodal.interleave_stats) — the decode-capacity audit."""
+    return multimodal.interleave_stats(corpus.flat_spans(spark, sf_dir))
+
+
+def q_media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-to-caption alignment over the interleaved span order
+    (multimodal.caption_pairs, max_gap=2): nearest text span per media
+    span, preceding preferred on ties — the (image, caption) pairing
+    step of a multimodal training pipeline. Unpaired media coalesces to
+    (-1, '') so the gated frame is NULL-free (engine-stable hash/sort)."""
+    out = multimodal.caption_pairs(corpus.flat_spans(spark, sf_dir), max_gap=2)
+    return out.select(
+        "doc_id",
+        "pos",
+        "kind",
+        "media_ref",
+        F.coalesce("caption_pos", F.lit(-1)).alias("caption_pos"),
+        F.coalesce("caption_text", F.lit("")).alias("caption_text"),
+    )
