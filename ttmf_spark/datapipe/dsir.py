@@ -96,37 +96,45 @@ def dsir_scores(
             "int"
         ),
     )
-    ct = tgt_g.groupBy("bucket").agg(F.count("*").alias("_ct"))
-    cr = raw_g.groupBy("bucket").agg(F.count("*").alias("_cr"))
-    tt = tgt_g.count()
-    tr = raw_g.count()
+    # One pass over each side: the n_buckets-row count tables come to the
+    # driver ONCE and tt/tr are their sums — no separate .count() actions
+    # re-running the gram explode+hash over the (nominally 100 TB) corpus.
+    ct = {
+        r["bucket"]: r["_ct"]
+        for r in tgt_g.groupBy("bucket").agg(F.count("*").alias("_ct")).collect()
+    }
+    cr = {
+        r["bucket"]: r["_cr"]
+        for r in raw_g.groupBy("bucket").agg(F.count("*").alias("_cr")).collect()
+    }
+    tt = sum(ct.values())
+    tr = sum(cr.values())
     # dense model: every bucket gets a row (smoothing gives unseen
-    # buckets a real ratio), so the gram-side join is an inner equi-join
-    buckets = raw_docs.sparkSession.range(n_buckets).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    lam = (
-        buckets.join(F.broadcast(ct), "bucket", "left")
-        .join(F.broadcast(cr), "bucket", "left")
-        .select(
-            "bucket",
-            F.round(
+    # buckets a real ratio), so the gram-side join is an inner equi-join.
+    # ln() runs driver-side in Python — same libm class as the SQL twin,
+    # and the 1e-9 fixed-point rounding absorbs any ulp (docstring).
+    import math
+
+    def _round_half_away(x: float) -> int:
+        # Spark/DuckDB ROUND(x, 0) semantics (half away from zero), not
+        # Python's banker's rounding
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    model_rows = [
+        (
+            b,
+            _round_half_away(
                 (
-                    F.log(
-                        (F.coalesce("_ct", F.lit(0)) + 1)
-                        / F.lit(float(tt + n_buckets))
-                    )
-                    - F.log(
-                        (F.coalesce("_cr", F.lit(0)) + 1)
-                        / F.lit(float(tr + n_buckets))
-                    )
+                    math.log((ct.get(b, 0) + 1) / float(tt + n_buckets))
+                    - math.log((cr.get(b, 0) + 1) / float(tr + n_buckets))
                 )
-                * _SCALE,
-                0,
-            )
-            .cast("long")
-            .alias("lam_fp"),
+                * _SCALE
+            ),
         )
+        for b in range(n_buckets)
+    ]
+    lam = raw_docs.sparkSession.createDataFrame(
+        model_rows, "bucket int, lam_fp long"
     )
     per_doc = (
         raw_g.join(F.broadcast(lam), "bucket")

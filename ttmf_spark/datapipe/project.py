@@ -121,7 +121,9 @@ def projection_distortion(
     dim: int | None = None,
 ) -> DataFrame:
     """QA gate for the projection: per-pair cosine distortion on the
-    deterministic pair sample (vec_id 2m, 2m+1) — (a, b, cos_full,
+    deterministic pair sample (vec_id 2*pair_mod*j, 2*pair_mod*j +
+    pair_mod) — i.e. (4m, 4m+2) at the default pair_mod=2; consecutive
+    ids are never paired — (a, b, cos_full,
     cos_proj, abs_err). The JL promise is abs_err concentrated near 0;
     this is the trust gate before swapping raw vectors for projected
     ones in ANN (same pattern as emb_ann_recall / emb_pq_recall).

@@ -276,9 +276,9 @@ cat AS MATERIALIZED (
               WHEN tph >= 1.5 AND hpt < 1.5 THEN '1-N'
               WHEN tph < 1.5 AND hpt >= 1.5 THEN 'N-1'
               ELSE 'N-N' END AS category
-  FROM (SELECT r, AVG(_n) AS tph
+  FROM (SELECT r, ROUND(AVG(_n), 6) AS tph
         FROM (SELECT r, h, COUNT(*) AS _n FROM idt GROUP BY r, h) GROUP BY r) tphs
-  JOIN (SELECT r, AVG(_n) AS hpt
+  JOIN (SELECT r, ROUND(AVG(_n), 6) AS hpt
         FROM (SELECT r, t, COUNT(*) AS _n FROM idt GROUP BY r, t) GROUP BY r) hpts
     ON tphs.r = hpts.r
 )
