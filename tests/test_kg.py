@@ -889,3 +889,98 @@ def test_rank_metrics_by_category_slices(spark):
     assert out["1-1"]["mrr"] == round((1.0 + 1 / 5) / 2, 6)
     assert out["N-N"]["hits10"] == round(2 / 3, 6)
     assert out["N-N"]["mean_rank"] == round(23 / 3, 6)
+
+
+def test_pcra_path_triples_hand_graph(spark):
+    """PCRA-weighted PTransE training paths (Lin et al. 2015 §3.2,
+    restoring KGE/src/approaches/PTransE.java:373-394): hand graph with
+    two competing 2-hop paths into the same (h, t) — shares must
+    normalize by the per-pair Z and aggregate per (r1, r2, r)."""
+    # relations: 0,1,2,3.  h=0, t=2 reachable via
+    #   path A (r0, r1): 0-r0->1-r1->2 AND 0-r0->3-r1->2 (out(0,r0)=2,
+    #     each instance 1/(2*1) -> summed resource 1.0)
+    #   path B (r3, r1): 0-r3->4-r1->2 (resource 1.0)
+    # direct edge 0-r2->2 exists -> Z(0,2)=2.0, each path share 0.5.
+    edges = [
+        (0, 0, 1), (0, 0, 3), (1, 1, 2), (3, 1, 2),
+        (0, 3, 4), (4, 1, 2), (0, 2, 2),
+    ]
+    idt = spark.createDataFrame(edges, ["h", "r", "t"])
+    got = {
+        (r["r1"], r["r2"], r["r"]): r["weight"]
+        for r in graph.pcra_path_triples(idt).collect()
+    }
+    assert got == {(0, 1, 2): pytest.approx(0.5), (3, 1, 2): pytest.approx(0.5)}
+    # partition invariance (fixed-point integer path, no float order dep)
+    again = {
+        (r["r1"], r["r2"], r["r"]): r["weight"]
+        for r in graph.pcra_path_triples(idt.repartition(5)).collect()
+    }
+    assert got == again
+
+
+def test_ptranse_path_term_determinism_and_effect():
+    """The PCRA path-composition epoch: deterministic; a zero-length
+    path table is bit-identical to the pre-path trainer; a real path
+    table changes the fit AND pulls r1+r2 toward r (lower path energy
+    than the path-free fit)."""
+    from ttmf_spark.kg.transe import train_ptranse
+
+    tri = np.array(
+        [[0, 0, 1], [1, 1, 2], [0, 2, 2], [2, 0, 3], [3, 1, 4], [2, 2, 4]],
+        dtype=np.int64,
+    )
+    paths = np.array([[0, 1, 2]], dtype=np.int64)  # r0 then r1 implies r2
+    w = np.array([2.0])
+    base_e, base_r = train_ptranse(tri, 5, 3, dim=8, epochs=6, seed=9)
+    none_e, none_r = train_ptranse(
+        tri, 5, 3, dim=8, epochs=6, seed=9,
+        paths=np.zeros((0, 3), dtype=np.int64), path_weights=np.zeros(0),
+    )
+    assert np.array_equal(base_e, none_e) and np.array_equal(base_r, none_r)
+    p1_e, p1_r = train_ptranse(
+        tri, 5, 3, dim=8, epochs=6, seed=9, paths=paths, path_weights=w
+    )
+    p2_e, p2_r = train_ptranse(
+        tri, 5, 3, dim=8, epochs=6, seed=9, paths=paths, path_weights=w
+    )
+    assert np.array_equal(p1_e, p2_e) and np.array_equal(p1_r, p2_r)
+    assert not np.array_equal(p1_r, base_r)  # path term really trains
+
+    def path_energy(rel):
+        d = rel[0] + rel[1] - rel[2]
+        return float((d**2).sum())
+
+    assert path_energy(p1_r) < path_energy(base_r)
+
+
+def test_fit_embeddings_distributed_path_term(spark, tiny_ids):
+    """Distributed PTransE with the path term: repartition-invariant and
+    distinct from the path-free distributed fit."""
+    _, _, ids = tiny_ids
+    paths = np.array([[0, 1, 0]], dtype=np.int64)
+    w = np.array([1.5])
+    e1, r1 = transe.fit_embeddings_distributed(
+        ids, 5, 2, seed=3, epochs=2, n_shards=4, kernel="ptranse",
+        paths=paths, path_weights=w,
+    )
+    e2, r2 = transe.fit_embeddings_distributed(
+        ids.repartition(3), 5, 2, seed=3, epochs=2, n_shards=4,
+        kernel="ptranse", paths=paths, path_weights=w,
+    )
+    assert np.array_equal(e1, e2) and np.array_equal(r1, r2)
+    ef, rf = transe.fit_embeddings_distributed(
+        ids, 5, 2, seed=3, epochs=2, n_shards=4, kernel="ptranse"
+    )
+    assert not np.array_equal(r1, rf)
+
+
+def test_collect_path_triples_partition_invariant(spark, tiny_ids):
+    """collect_path_triples canonical sort: same arrays under any input
+    partitioning, so the trained model is layout-independent."""
+    _, _, ids = tiny_ids
+    pt = graph.pcra_path_triples(ids, max_out=1000, min_resource=0.001)
+    a_tri, a_w = transe.collect_path_triples(pt)
+    b_tri, b_w = transe.collect_path_triples(pt.repartition(7))
+    assert np.array_equal(a_tri, b_tri) and np.array_equal(a_w, b_w)
+    assert a_tri.ndim == 2 and a_tri.shape[1] == 3 and len(a_w) == len(a_tri)

@@ -349,3 +349,41 @@ def truth_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in [t_cnat, t_nreg, t_contains, t_supp, t_snat]:
         out = out.unionByName(t)
     return out.distinct()
+
+def shortcut_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived 1-hop shortcut relations for relation-path training.
+
+    The planted KG is multipartite (O->C->N->R, O->P->S->N) — 2-hop
+    paths NEVER parallel a direct edge, so PTransE's path-composition
+    table (graph.pcra_path_triples) is structurally empty on it. The
+    paper (Lin et al. 2015 §3.1) augments the graph so paths close;
+    here the augmentation is two shortcut relations any KG-enrichment
+    pass would emit, derived from the same source rows as the truth
+    triples (no new information, just materialized composition):
+
+      O -supplied_via-> S  (= contains . supplied_by, from lineitem)
+      O -order_nation-> N  (= placed_by . in_nation, from orders|customer)
+
+    On the augmented graph (placed_by, in_nation) closes with
+    order_nation on every order, and (supplied_via, in_nation) ALSO
+    reaches the customer nation whenever a supplier sits there — so the
+    per-(h, t) PCRA normalizer Z produces genuinely fractional shares.
+    """
+    orders = _tpch(spark, sf_dir, "orders")
+    customer = _tpch(spark, sf_dir, "customer")
+    lineitem = _tpch(spark, sf_dir, "lineitem")
+    t_via = lineitem.select(
+        F.expr("'O' || l_orderkey").alias("s"),
+        F.lit("supplied_via").alias("p"),
+        F.expr("'S' || l_suppkey").alias("o"),
+    ).distinct()
+    t_onat = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            F.expr("'O' || o_orderkey").alias("s"),
+            F.lit("order_nation").alias("p"),
+            F.expr("'N' || c_nationkey").alias("o"),
+        )
+        .distinct()
+    )
+    return t_via.unionByName(t_onat)

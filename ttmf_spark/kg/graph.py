@@ -578,6 +578,80 @@ def pcra_path_reliability(
     )
 
 
+def pcra_path_triples(
+    id_triples: DataFrame,
+    max_out: int = 1000,
+    min_resource: float = 0.01,
+) -> DataFrame:
+    """PCRA-weighted relation-path TRAINING triples for PTransE
+    (Lin et al. 2015 §3.2): rows (r1, r2, r, weight) where p = (r1, r2)
+    is a surviving 2-hop path between some (h, t), r is a direct
+    relation observed on that same (h, t), and weight is the summed
+    per-instance normalized reliability R(p|h,t) / Z(h,t) over every
+    such (h, t) — Z(h,t) = sum of reliabilities of ALL surviving paths
+    between h and t, exactly the paper's per-pair normalizer. This is
+    the input `kernel consumes (path, reliability) pairs` table that
+    restores the path-composition loss term the reference ships
+    commented out (KGE/src/approaches/PTransE.java:373-394).
+
+    Aggregating per-instance weights to relation level is
+    gradient-exact for a full epoch because the path energy
+    ||r1 + r2 - r||^2 depends on relations only and the loss is linear
+    in the weight (see transe._ptranse_path_epoch).
+
+    Numerics: path resources are the pcra_path_reliability 10^12
+    fixed-point integer sums; the per-(h,t) share _s/Z is ONE int64 ->
+    double division (IEEE-identical across engines) rounded once to a
+    1e-9 fixed-point BIGINT, and every cross-row sum after that is
+    exact integer arithmetic — the PCRA/DSIR portability contract.
+
+    Scale shape: the pcra midpoint self-join (hub-capped via
+    ``max_out``) plus one (h, t) equi-join against the distinct edge
+    set; output cardinality is relation-vocab bounded (distinct
+    (r1, r2, r)), i.e. schema-sized even at 10^12 docs.
+    """
+    scale = 10**12
+    wscale = 10**9
+    e = id_triples.select("h", "r", "t").distinct()
+    od = e.groupBy("h", "r").agg(F.count("*").alias("_n"))
+    src = e.join(od, ["h", "r"]).filter(F.col("_n") <= max_out)
+    leg1 = src.select(
+        "h", F.col("r").alias("r1"), F.col("t").alias("_m"), F.col("_n").alias("_n1")
+    )
+    leg2 = src.select(
+        F.col("h").alias("_m"), F.col("r").alias("r2"), "t", F.col("_n").alias("_n2")
+    )
+    paths = (
+        leg1.join(leg2, "_m")
+        .groupBy("h", "r1", "r2", "t")
+        .agg(F.sum(F.expr(f"{scale} div (_n1 * _n2)")).alias("_s"))
+        .filter(F.col("_s") >= int(min_resource * scale))
+    )
+    z = paths.groupBy("h", "t").agg(F.sum("_s").alias("_z"))
+    w = paths.join(z, ["h", "t"]).select(
+        "h",
+        "t",
+        "r1",
+        "r2",
+        F.round(
+            F.col("_s").cast("double") / F.col("_z").cast("double") * wscale, 0
+        )
+        .cast("long")
+        .alias("_wfp"),
+    )
+    return (
+        w.join(e.select("h", F.col("r"), "t"), ["h", "t"])
+        .groupBy("r1", "r2", "r")
+        .agg(F.sum("_wfp").alias("_ws"))
+        .select(
+            "r1",
+            "r2",
+            "r",
+            F.round(F.col("_ws") / F.lit(float(wscale)), 6).alias("weight"),
+        )
+    )
+
+
 def hits(
     id_triples: DataFrame,
     rounds: int = 8,

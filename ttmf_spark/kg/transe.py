@@ -134,6 +134,60 @@ def _ptranse_sgd_epoch(
                 np.add.at(rel, rr, -g)
 
 
+def _ptranse_path_epoch(
+    rel: np.ndarray,
+    paths: np.ndarray,
+    weights: np.ndarray,
+    rng: np.random.Generator,
+    n_rel: int,
+    lr: float = LR,
+    bias: float = 7.0,
+    batch: int = 2048,
+) -> None:
+    """One PCRA-weighted relation-path epoch (Lin et al. 2015, "Modeling
+    Relation Paths for Representation Learning"), mutating ``rel`` in
+    place — the path-composition term the reference ships commented out
+    (KGE/src/approaches/PTransE.java:373-394) restored per the paper.
+
+    ``paths``: (n, 3) int (r1, r2, r) — a 2-hop relation path p=(r1,r2)
+    co-occurring with direct relation r; ``weights``: (n,) float — the
+    summed per-instance PCRA reliabilities R(p|h,t)/Z(h,t) over every
+    (h,t) edge the path supports (graph.pcra_path_triples). Summing the
+    per-instance weights into one relation-level row is gradient-exact
+    for the epoch because the path energy E(p,r) = ||r1 + r2 - r||^2
+    (ADD composition) depends on relations only, and the loss is linear
+    in the weight.
+
+    Objective per row: logistic sigma(bias - 0.5*E), weight-scaled,
+    positive on the observed r plus one corrupted-relation negative —
+    the same loss shape (and hence the same gradient/update algebra) as
+    ``_ptranse_sgd_epoch``, with (rel[r1]+rel[r2]) standing in for the
+    entity translation.
+    """
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-np.clip(x, -60, 60)))
+
+    n = len(paths)
+    if n == 0:
+        return
+    order = rng.permutation(n)
+    for s in range(0, n, batch):
+        idx = order[s : s + batch]
+        r1, r2, r = paths[idx, 0], paths[idx, 1], paths[idx, 2]
+        w = weights[idx]
+        neg_r = rng.integers(0, n_rel, len(idx))
+        for rr, y in ((r, 1.0), (neg_r, 0.0)):
+            d = rel[r1] + rel[r2] - rel[rr]
+            E = (d**2).sum(axis=1)
+            p = sig(bias - 0.5 * E)
+            coef = w * (p - y) * (-0.5)
+            g = (2.0 * lr) * coef[:, None].astype(rel.dtype) * d
+            np.add.at(rel, r1, -g)
+            np.add.at(rel, r2, -g)
+            np.add.at(rel, rr, g)
+
+
 def train_transe(
     triples: np.ndarray,
     n_ent: int,
@@ -186,6 +240,8 @@ def train_ptranse(
     bias: float = 7.0,
     seed: int = 42,
     batch: int = 2048,
+    paths: np.ndarray | None = None,
+    path_weights: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """PTransE-style trainer (reference KGE/src/approaches/PTransE.java:
     logistic loss sigma(bias - 0.5 * E) with 15 negative samples per side
@@ -203,6 +259,14 @@ def train_ptranse(
     this trainer implements. Path evidence enters TTMF downstream via
     SearchPaths2 SD-scoring over these vectors (kg/paths.py), not via the
     embedding objective.
+
+    Round-3 addition: pass ``paths`` ((n, 3) int (r1, r2, r)) +
+    ``path_weights`` ((n,) float PCRA reliabilities,
+    graph.pcra_path_triples) to restore the paper's path-composition
+    term the reference ships commented out — each epoch then runs one
+    ``_ptranse_path_epoch`` over the relation matrix after the triple
+    epoch. With ``paths=None`` the rng call sequence (and hence the
+    result) is bit-identical to the pre-path trainer.
     """
     rng = np.random.default_rng(seed)
     bound = 6.0 / np.sqrt(dim)
@@ -219,6 +283,11 @@ def train_ptranse(
             ent, rel, triples, rng, n_ent, n_rel,
             lr=lr, n_neg=n_neg, bias=bias, batch=batch,
         )
+        if paths is not None and len(paths):
+            _ptranse_path_epoch(
+                rel, paths, path_weights, rng, n_rel,
+                lr=lr, bias=bias, batch=batch,
+            )
     return ent, rel
 
 
@@ -322,8 +391,18 @@ def fit_embeddings_distributed(
     kernel: str = "transe",
     n_neg: int = 15,
     bias: float = 7.0,
+    paths: np.ndarray | None = None,
+    path_weights: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distributed TransE/PTransE: per-shard SGD + parameter averaging per epoch.
+
+    With ``kernel='ptranse'`` and ``paths``/``path_weights`` set, each
+    epoch additionally runs the PCRA path-composition step
+    (``_ptranse_path_epoch``) on the driver after the shard-delta fold:
+    the path table is RELATION-vocab bounded (distinct (r1, r2, r)
+    combinations — thousands, not billions, even at 100 TB corpora whose
+    relation vocabulary is schema-sized), so driver-side is the scalable
+    placement; only the entity side ever needs sharding.
 
     The round-2 replacement for the full-dataset ``toPandas`` (VERDICT
     "What's wrong" #5): triples are hash-sharded ONCE (deterministic in
@@ -404,6 +483,14 @@ def fit_embeddings_distributed(
                 ids = part["id"].to_numpy(dtype=np.int64)
                 ds = np.stack(part["delta"].to_numpy()) / float(n_shards)
                 mat[ids] += ds
+        if kernel == "ptranse" and paths is not None and len(paths):
+            # deterministic per-epoch stream, disjoint from every shard's
+            # (seed, epoch, shard<n_shards) tuple
+            path_rng = np.random.default_rng((seed, ep, 10**9 + 7))
+            _ptranse_path_epoch(
+                rel, paths, path_weights, path_rng, n_rel,
+                lr=lr, bias=bias, batch=batch,
+            )
     return ent.astype(np.float32), rel.astype(np.float32)
 
 
@@ -417,9 +504,16 @@ def fit_embeddings_from_df(
     seed: int = 42,
     driver_max_triples: int = DRIVER_FIT_MAX_TRIPLES,
     kernel: str = "transe",
+    paths: np.ndarray | None = None,
+    path_weights: np.ndarray | None = None,
     **kw,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit TransE/PTransE embeddings from an id-triple DataFrame, size-routed.
+
+    ``paths``/``path_weights`` (kernel='ptranse' only): relation-level
+    PCRA path triples (graph.pcra_path_triples, collected — the table is
+    relation-vocab bounded) enabling the paper's path-composition term
+    on both routes.
 
     ``kernel`` picks the objective: ``"transe"`` (margin hinge — the
     TransConfidence energy source) or ``"ptranse"`` (logistic, 15
@@ -447,6 +541,9 @@ def fit_embeddings_from_df(
             f"fit_embeddings_from_df(kernel={kernel!r}): unsupported "
             f"option(s) {sorted(bad)}; allowed: {sorted(allowed)}"
         )
+    if paths is not None and kernel != "ptranse":
+        raise TypeError("paths/path_weights require kernel='ptranse'")
+    pkw = {"paths": paths, "path_weights": path_weights} if kernel == "ptranse" else {}
     n = id_triples.count()
     if n <= driver_max_triples:
         kw.pop("n_shards", None)
@@ -455,10 +552,27 @@ def fit_embeddings_from_df(
         if len(tri):
             tri = tri[np.lexsort((tri[:, 2], tri[:, 1], tri[:, 0]))]
         trainer = train_ptranse if kernel == "ptranse" else train_transe
-        return trainer(tri, n_ent, n_rel, seed=seed, **kw)
+        return trainer(tri, n_ent, n_rel, seed=seed, **pkw, **kw)
     return fit_embeddings_distributed(
-        id_triples, n_ent, n_rel, seed=seed, kernel=kernel, **kw
+        id_triples, n_ent, n_rel, seed=seed, kernel=kernel, **pkw, **kw
     )
+
+
+def collect_path_triples(paths_df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect a graph.pcra_path_triples table into kernel arrays.
+
+    Returns ((n, 3) int64 (r1, r2, r), (n,) float64 weights), sorted
+    canonically so the path epoch's positional permutation — and hence
+    the trained model — is invariant to the table's partitioning. The
+    collect is relation-vocab bounded (see fit_embeddings_distributed).
+    """
+    pdf = paths_df.select("r1", "r2", "r", "weight").toPandas()
+    tri = pdf[["r1", "r2", "r"]].to_numpy(dtype=np.int64)
+    w = pdf["weight"].to_numpy(dtype=np.float64)
+    if len(tri):
+        o = np.lexsort((tri[:, 2], tri[:, 1], tri[:, 0]))
+        tri, w = tri[o], w[o]
+    return tri, w
 
 
 def embeddings_to_df(spark, mat: np.ndarray) -> DataFrame:

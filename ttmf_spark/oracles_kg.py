@@ -457,6 +457,78 @@ HAVING SUM({scale} // (a.n * b.n)) >= {int(min_resource * scale)}
 """
 
 
+# augmented base: planted triples + the two derived shortcut relations
+# (corpus.shortcut_triples) — the planted KG is multipartite, so WITHOUT
+# shortcut edges no 2-hop path ever parallels a direct edge and the path
+# table is structurally empty. Same dense-dictionary construction.
+KG_AUG_BASE = f"""
+triples AS (
+  WITH base AS ({truth_triples_sql()})
+  SELECT DISTINCT s, p, o FROM (
+    SELECT s, p, o FROM base
+    UNION ALL
+    SELECT 'O' || l_orderkey AS s, 'supplied_via' AS p,
+           'S' || l_suppkey AS o FROM lineitem
+    UNION ALL
+    SELECT 'O' || o_orderkey, 'order_nation', 'N' || c_nationkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+  ) u
+),
+ent AS (
+  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+  FROM (SELECT s AS name FROM triples UNION SELECT o FROM triples) u
+),
+rel AS (
+  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+  FROM (SELECT DISTINCT p AS name FROM triples) u
+),
+idt AS MATERIALIZED (
+  SELECT eh.id AS h, r.id AS r, et.id AS t
+  FROM triples
+  JOIN ent eh ON triples.s = eh.name
+  JOIN rel r  ON triples.p = r.name
+  JOIN ent et ON triples.o = et.name
+)
+"""
+
+
+def kg_path_triples_sql(max_out: int = 1000, min_resource: float = 0.01) -> str:
+    """Twin of graph.pcra_path_triples over the shortcut-AUGMENTED KG:
+    PCRA fixed-point resources -> per-(h,t) normalized share (one
+    int64->double division, rounded once to a 1e-9 fixed-point BIGINT)
+    -> exact integer sum per (r1, r2, r) joined against the direct edge
+    set. Same numerics contract as kg_path_reliability_sql."""
+    scale = 10**12
+    wscale = 10**9
+    return f"""
+WITH {KG_AUG_BASE},
+e AS MATERIALIZED (SELECT DISTINCT h, r, t FROM idt),
+od AS (SELECT h, r, COUNT(*) AS n FROM e GROUP BY 1, 2),
+s AS MATERIALIZED (
+  SELECT e.h, e.r, e.t, od.n FROM e
+  JOIN od ON od.h = e.h AND od.r = e.r
+  WHERE od.n <= {max_out}
+),
+p AS MATERIALIZED (
+  SELECT a.h, a.r AS r1, b.r AS r2, b.t, SUM({scale} // (a.n * b.n)) AS _s
+  FROM s a JOIN s b ON b.h = a.t
+  GROUP BY 1, 2, 3, 4
+  HAVING SUM({scale} // (a.n * b.n)) >= {int(min_resource * scale)}
+),
+z AS (SELECT h, t, SUM(_s) AS _z FROM p GROUP BY 1, 2),
+w AS (
+  SELECT p.h, p.t, p.r1, p.r2,
+         CAST(ROUND(CAST(p._s AS DOUBLE) / CAST(z._z AS DOUBLE) * {wscale}, 0)
+              AS BIGINT) AS wfp
+  FROM p JOIN z ON z.h = p.h AND z.t = p.t
+)
+SELECT w.r1, w.r2, e.r,
+       ROUND(CAST(SUM(w.wfp) AS DOUBLE) / {float(wscale)}, 6) AS weight
+FROM w JOIN e ON e.h = w.h AND e.t = w.t
+GROUP BY 1, 2, 3
+"""
+
+
 def kg_hits_sql(rounds: int = 8) -> str:
     """Twin of graph.hits(rounds=rounds): the mutual auth/hub recurrence
     unrolled round by round. Max-normalization (not L2) keeps the

@@ -346,6 +346,59 @@ def q_kg_path_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pcra_path_reliability(idt, max_out=1000, min_resource=0.01)
 
 
+def _id_triples_aug(spark, sf_dir):
+    """Id triples over the shortcut-AUGMENTED KG (truth + derived
+    supplied_via / order_nation edges, corpus.shortcut_triples). The
+    planted KG is multipartite — no 2-hop path parallels a direct edge —
+    so relation-path training closure exists only on this augmented
+    graph (the Lin et al. 2015 §3.1 augmentation, realized as the
+    shortcut relations a KG-enrichment pass would emit)."""
+    truth = corpus.truth_triples(spark, sf_dir).unionByName(
+        corpus.shortcut_triples(spark, sf_dir)
+    )
+    e_dim = encode.entity_dim(truth)
+    r_dim = encode.relation_dim(truth)
+    return encode.encode_triples(truth, e_dim, r_dim), e_dim
+
+
+def q_kg_path_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCRA-weighted relation-path training triples (r1, r2, r, weight)
+    over the shortcut-augmented KG (graph.pcra_path_triples, Lin et al.
+    2015 §3.2) — the table the PTransE path-composition term consumes
+    (transe._ptranse_path_epoch), restoring the loss term the reference
+    ships commented out (KGE/src/approaches/PTransE.java:373-394).
+    Learns e.g. (placed_by, in_nation) => order_nation with genuinely
+    fractional PCRA shares wherever the (supplied_via, in_nation) path
+    competes for the same (order, nation) pair."""
+    idt, _ = _id_triples_aug(spark, sf_dir)
+    return graph.pcra_path_triples(idt, max_out=1000, min_resource=0.01)
+
+
+def q_kg_ptranse_dev_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: A10 dev hinge loss over PCRA-path-trained PTransE
+    embeddings on the shortcut-augmented KG — train_ptranse with the
+    pcra_path_triples table wired into the objective (the trainable part
+    is not SQL-expressible; the hinge operator and the path table ARE,
+    gated via kg_dev_loss / kg_path_triples). Reduced epoch budget: this
+    evidences the wiring, the full-budget fit shape is pytest-pinned
+    (tests/test_kg.py)."""
+    idt, e_dim = _id_triples_aug(spark, sf_dir)
+    n_ent = e_dim.count()
+    n_rel = int(idt.agg(F.max("r")).first()[0]) + 1
+    paths_np, weights_np = transe.collect_path_triples(
+        graph.pcra_path_triples(idt, max_out=1000, min_resource=0.01)
+    )
+    ent, rel = transe.fit_embeddings_from_df(
+        idt, n_ent, n_rel, seed=42, kernel="ptranse",
+        paths=paths_np, path_weights=weights_np, epochs=3, n_neg=2,
+    )
+    energy = transe.transe_energy_col(spark, ent, rel)
+    pairs = negatives.tc_pairs_ids(idt, n_ent, seed=17, hash_fn="md5")
+    pairs = transe.add_transe_energy(pairs, energy)
+    out = transe.dev_hinge_loss(pairs, margin=1.0)
+    return out.select(F.round("dev_loss", 6).alias("dev_loss"))
+
+
 def q_kg_er_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution blocking over the non-media gazetteer surfaces
     (extract.blocking.er_blocking_candidates): digit-key blocks with a
