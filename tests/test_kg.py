@@ -984,3 +984,148 @@ def test_collect_path_triples_partition_invariant(spark, tiny_ids):
     b_tri, b_w = transe.collect_path_triples(pt.repartition(7))
     assert np.array_equal(a_tri, b_tri) and np.array_equal(a_w, b_w)
     assert a_tri.ndim == 2 and a_tri.shape[1] == 3 and len(a_w) == len(a_tri)
+
+
+def test_fit_embeddings_table_bit_parity(spark, tiny_ids):
+    """Table-sharded trainer (entity matrix never on the driver) is
+    BIT-identical to the broadcast trainer given the same init, for both
+    kernels and with the PCRA path term — the plan pass replays the
+    exact rng draw sequence, so gather/remap changes no arithmetic."""
+    _, _, ids = tiny_ids
+    rng = np.random.default_rng(123)
+    init = (rng.uniform(-0.6, 0.6, (5, 8)), rng.uniform(-0.6, 0.6, (2, 8)))
+    paths = np.array([[0, 1, 0]], dtype=np.int64)
+    w = np.array([1.5])
+    cases = [
+        ("transe", {}),
+        ("ptranse", {}),
+        ("ptranse", {"paths": paths, "path_weights": w}),
+    ]
+    for kernel, extra in cases:
+        em, rm = transe.fit_embeddings_distributed(
+            ids, 5, 2, dim=8, epochs=3, n_shards=4, seed=7,
+            kernel=kernel, init=init, **extra,
+        )
+        edf, rt = transe.fit_embeddings_table(
+            ids, 5, 2, dim=8, epochs=3, n_shards=4, seed=7,
+            kernel=kernel, init=init, **extra,
+        )
+        pdf = edf.toPandas().sort_values("id")
+        assert list(pdf["id"]) == [0, 1, 2, 3, 4]
+        et = np.stack(pdf["vec"].to_numpy())
+        assert np.array_equal(et, em), kernel
+        assert np.array_equal(rt, rm), kernel
+
+
+def test_fit_embeddings_table_default_init(spark, tiny_ids):
+    """Default (no-init) table path: distributed per-id counter-keyed
+    init, deterministic under input repartitioning, float32 output, and
+    n_ent == ent-table rows (nothing |V|-sized ever hits the driver in
+    the trainer itself; this collect is the TEST's assertion step)."""
+    _, _, ids = tiny_ids
+    e1, r1 = transe.fit_embeddings_table(ids, 5, 2, dim=8, epochs=2, n_shards=3)
+    e2, r2 = transe.fit_embeddings_table(
+        ids.repartition(4), 5, 2, dim=8, epochs=2, n_shards=3
+    )
+    p1 = e1.toPandas().sort_values("id")
+    p2 = e2.toPandas().sort_values("id")
+    assert np.array_equal(np.stack(p1["vec"]), np.stack(p2["vec"]))
+    assert np.array_equal(r1, r2)
+    assert len(p1) == 5 and np.stack(p1["vec"]).dtype == np.float32
+    assert r1.dtype == np.float32 and np.isfinite(r1).all()
+
+
+def test_pagerank_convergence_stop_matches_fixed_sweeps(spark, tiny_ids):
+    """The production convergence-stop PageRank (the one rows-only
+    driver query, q_kg_pagerank) equals the hash-gated fixed-20-sweep
+    twin within the stop tolerance on the fixture graph — tightening the
+    remaining rows-only KG query to the gated fixpoint semantics."""
+    _, _, ids = tiny_ids
+    adj = graph.build_adjacency(ids)
+    edges_w = graph.weighted_edges(adj)
+    cores = spark.createDataFrame([(0,), (2,)], ["core"])
+    reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+    sg = graph.subgraph_edges(edges_w, reach, depth=4).localCheckpoint(eager=True)
+    nodes = graph.subgraph_nodes(sg, cores)
+    patched = pagerank.patched_edges(sg, nodes)
+    conv = {
+        (r["core"], r["node"]): r["pr"]
+        for r in pagerank.pagerank_routed(patched, nodes).collect()
+    }
+    # 100 fixed sweeps: damped tail 0.85^100 ~ 9e-8, i.e. the same Jacobi
+    # fixpoint the gated 20-sweep twin is an unrolled prefix of
+    fixed = {
+        (r["core"], r["node"]): r["pr"]
+        for r in pagerank.pagerank_routed(
+            patched, nodes, max_iter=100, min_delta=0.0
+        ).collect()
+    }
+    assert set(conv) == set(fixed)
+    # stop rule sum|delta| < 1e-5 -> distance to fixpoint <= delta*d/(1-d)
+    for k in conv:
+        assert conv[k] == pytest.approx(fixed[k], abs=1e-4)
+
+
+def test_enumerate_paths_batched_slices_and_resume(spark, tmp_path):
+    """G5 hub-scale harness: head-sliced enumeration (a) equals the
+    one-shot enumeration row-for-row, (b) bounds per-slice checkpointed
+    rows to the slice's heads (a planted hub's blowup stays inside its
+    own slice), (c) resumes via anti-join — a grown seed set re-runs
+    only the new heads (no duplicate head rows, hub slices untouched),
+    and (d) the opt-in hub_capped_edges guard removes the hub's
+    out-degree^2 contribution entirely."""
+    from ttmf_spark.checkpoint import StageStore
+    from ttmf_spark.kg import paths as P
+
+    # planted hub: head 1000 -> 40 mids, each mid -> 10 leaves
+    # (40 + 400 = 440 paths from one head); plus 6 normal heads with
+    # a 2-edge chain each
+    hub = [(1000, 2000 + i, 0) for i in range(40)]
+    hub += [(2000 + i, 3000 + 10 * i + j, 1) for i in range(40) for j in range(10)]
+    normal = []
+    for k in range(6):
+        normal += [(k, 100 + k, 0), (100 + k, 200 + k, 1)]
+    edges = spark.createDataFrame(hub + normal, ["src", "dst", "r"])
+    seeds = spark.createDataFrame([(1000,)] + [(k,) for k in range(6)], ["h"])
+
+    want = sorted(map(tuple, P.enumerate_paths(edges, seeds).collect()))
+
+    store = StageStore(str(tmp_path / "ck"))
+    got_df = P.enumerate_paths_batched(edges, seeds, store, n_slices=4)
+    assert sorted(map(tuple, got_df.collect())) == want
+
+    # (b) per-slice row bound: no slice holds more than the hub head's
+    # own paths + the small heads that hashed with it; at least one
+    # slice is hub-free and tiny
+    import pyarrow.parquet as pq, glob
+    slice_rows = []
+    for s in range(4):
+        fs = glob.glob(str(tmp_path / "ck" / f"paths_s{s:04d}" / "*.parquet"))
+        slice_rows.append(sum(pq.ParquetFile(f).metadata.num_rows for f in fs))
+    assert sum(slice_rows) == len(want)
+    assert min(slice_rows) < 40  # hub blowup confined to its slice
+
+    # (c) resume with a GROWN seed set: one new head
+    edges2 = edges.unionByName(
+        spark.createDataFrame([(7, 107, 0), (107, 207, 1)], ["src", "dst", "r"])
+    )
+    seeds2 = seeds.unionByName(spark.createDataFrame([(7,)], ["h"]))
+    got2 = P.enumerate_paths_batched(edges2, seeds2, store, n_slices=4)
+    want2 = sorted(map(tuple, P.enumerate_paths(edges2, seeds2).collect()))
+    # done heads kept their OLD enumeration (edges2 only adds head 7's
+    # chain, so old heads' paths are unchanged) -> exact equality
+    assert sorted(map(tuple, got2.collect())) == want2
+    # no head enumerated twice: per-slice head tables stay duplicate-free
+    all_heads = []
+    for s in range(4):
+        fs = glob.glob(str(tmp_path / "ck" / f"paths_s{s:04d}_heads" / "*.parquet"))
+        for f in fs:
+            all_heads += pq.read_table(f)["h"].to_pylist()
+    assert len(all_heads) == len(set(all_heads)) == 8
+
+    # (d) hub guard: capping out-degree at 20 removes exactly the hub
+    # head's paths (hub out-degree 40 > 20; mids are 10 <= 20)
+    capped = P.enumerate_paths(P.hub_capped_edges(edges, max_out=20), seeds)
+    got_capped = sorted(map(tuple, capped.collect()))
+    want_no_hub = [w for w in want if w[0] != 1000]
+    assert got_capped == want_no_hub

@@ -99,6 +99,78 @@ def enumerate_paths(
     return out.drop("_visited")
 
 
+def hub_capped_edges(edges: DataFrame, max_out: int) -> DataFrame:
+    """Opt-in hub guard for enumeration: drop ALL outgoing edges of
+    nodes whose exploded out-degree exceeds ``max_out`` (the same
+    whole-node cap as pcra_path_reliability, graph.py). Bounds the
+    out-degree^3 blowup of a planted hub at the cost of losing its
+    paths — a documented semantic cap, so it is NOT applied on the
+    reference-parity pipeline path (which relies on head slicing for
+    boundedness instead)."""
+    od = edges.groupBy("src").agg(F.count("*").alias("_n"))
+    return (
+        edges.join(od, "src")
+        .filter(F.col("_n") <= max_out)
+        .drop("_n")
+    )
+
+
+def enumerate_paths_batched(
+    edges: DataFrame,
+    seeds: DataFrame,
+    store,
+    stage: str = "paths",
+    n_slices: int = 8,
+    max_edges: int = MAX_EDGES,
+) -> DataFrame:
+    """Head-sliced enumeration with per-slice checkpoint + anti-join
+    resume — the SCALE.md mitigation for path blowup made concrete.
+
+    Heads are hash-partitioned into ``n_slices`` deterministic slices;
+    each slice enumerates independently and checkpoints BOTH its paths
+    and its processed-head set through ``store`` (checkpoint.StageStore).
+    Intermediate (and checkpointed) rows per job are therefore bounded
+    by the slice's heads, not the full seed set. On re-run — same seeds
+    or a GROWN seed set — completed heads are skipped via
+    ``anti_join_resume`` on the per-slice head table (the head table,
+    not the path table, so heads that legitimately produced zero paths
+    are not re-enumerated), and only new heads append.
+
+    Result is the union of all slice tables: identical row set to
+    ``enumerate_paths(edges, seeds)`` (pinned by
+    tests/test_kg.py::test_enumerate_paths_batched_slices_and_resume).
+    """
+    from functools import reduce
+
+    from ttmf_spark.checkpoint import anti_join_resume
+
+    spark = edges.sparkSession
+    heads = seeds.select("h").distinct()
+    parts = []
+    for s in range(n_slices):
+        hs = heads.filter(F.pmod(F.xxhash64("h"), F.lit(n_slices)) == F.lit(s))
+        pname, hname = f"{stage}_s{s:04d}", f"{stage}_s{s:04d}_heads"
+        if store.done(pname) and store.done(hname):
+            done_heads = spark.read.parquet(store.path(hname))
+            todo = anti_join_resume(hs, done_heads, ["h"]).localCheckpoint(
+                eager=True
+            )
+            if not todo.isEmpty():
+                enumerate_paths(edges, todo, max_edges).write.mode(
+                    "append"
+                ).parquet(store.path(pname))
+                todo.write.mode("append").parquet(store.path(hname))
+            parts.append(spark.read.parquet(store.path(pname)))
+        else:
+            parts.append(
+                store.materialize(
+                    spark, pname, lambda hs=hs: enumerate_paths(edges, hs, max_edges)
+                )
+            )
+            store.materialize(spark, hname, lambda hs=hs: hs)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def path_score_udf(spark, ent: np.ndarray, rel: np.ndarray):
     """SD scorer over (h, t, r, ph, pt, pr, len) Arrow batches.
 

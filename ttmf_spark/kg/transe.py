@@ -377,6 +377,47 @@ def _epoch_shard_trainer(
     return _run
 
 
+def _ordered_delta_sum(deltas: DataFrame, dim: int) -> DataFrame:
+    """Fold per-shard (sh, kind, id, delta) rows into one delta per
+    (kind, id), summed in SHARD order (sort_array on the sh key): float
+    addition is not associative, so an unordered collect_list fold would
+    drift ~1e-16/step across partitionings — amplified over epochs into
+    visible divergence."""
+    zero = F.array(*[F.lit(0.0)] * dim)
+    return deltas.groupBy("kind", "id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sh", "delta"))),
+                lambda x: x["delta"],
+            ),
+            zero,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b_: a + b_),
+        ).alias("delta")
+    )
+
+
+def _shard_triples(id_triples: DataFrame, n_shards: int, seed: int) -> DataFrame:
+    """Hash-shard triples ONCE, deterministically in the triple content."""
+    return (
+        id_triples.select("h", "r", "t")
+        .withColumn(
+            "_sh", F.pmod(F.xxhash64("h", "r", "t", F.lit(seed)), F.lit(n_shards))
+        )
+        .repartition(n_shards, "_sh")
+        .localCheckpoint(eager=True)  # reused every epoch
+    )
+
+
+def _default_shards(spark, n_total: int) -> int:
+    # size shards by data: each delta row costs dim floats across the
+    # shuffle, and every shard emits a row per touched id — 64 shards
+    # on a 75k-triple input would move 16x the deltas of 4 shards for
+    # zero extra parallelism benefit. ~100k triples per shard, capped
+    # by the session's shuffle parallelism.
+    cap = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return int(max(1, min(cap, -(-n_total // 100_000))))
+
+
 def fit_embeddings_distributed(
     id_triples: DataFrame,
     n_ent: int,
@@ -393,6 +434,7 @@ def fit_embeddings_distributed(
     bias: float = 7.0,
     paths: np.ndarray | None = None,
     path_weights: np.ndarray | None = None,
+    init: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distributed TransE/PTransE: per-shard SGD + parameter averaging per epoch.
 
@@ -421,32 +463,20 @@ def fit_embeddings_distributed(
     """
     spark = id_triples.sparkSession
     if n_shards is None:
-        # size shards by data: each delta row costs dim floats across the
-        # shuffle, and every shard emits a row per touched id — 64 shards
-        # on a 75k-triple input would move 16x the deltas of 4 shards for
-        # zero extra parallelism benefit. ~100k triples per shard, capped
-        # by the session's shuffle parallelism.
-        cap = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
-        n_total = id_triples.count()
-        n_shards = int(max(1, min(cap, -(-n_total // 100_000))))
-    sharded = (
-        id_triples.select("h", "r", "t")
-        .withColumn(
-            "_sh", F.pmod(F.xxhash64("h", "r", "t", F.lit(seed)), F.lit(n_shards))
-        )
-        .repartition(n_shards, "_sh")
-        .localCheckpoint(eager=True)  # reused once per epoch
-    )
-    rng = np.random.default_rng(seed)
-    bound = 6.0 / np.sqrt(dim)
-    ent = rng.uniform(-bound, bound, (n_ent, dim))
-    rel = rng.uniform(-bound, bound, (n_rel, dim))
-    if kernel != "ptranse":  # TransE init normalizes relations; PTransE not
-        rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-12)
+        n_shards = _default_shards(spark, id_triples.count())
+    sharded = _shard_triples(id_triples, n_shards, seed)
+    if init is not None:  # test hook: shared start point for parity checks
+        ent, rel = init[0].astype(np.float64).copy(), init[1].astype(np.float64).copy()
+    else:
+        rng = np.random.default_rng(seed)
+        bound = 6.0 / np.sqrt(dim)
+        ent = rng.uniform(-bound, bound, (n_ent, dim))
+        rel = rng.uniform(-bound, bound, (n_rel, dim))
+        if kernel != "ptranse":  # TransE init normalizes relations; PTransE not
+            rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-12)
     if sharded.isEmpty():
         return ent.astype(np.float32), rel.astype(np.float32)
     sc = spark.sparkContext
-    zero = F.array(*[F.lit(0.0)] * dim)
     for ep in range(epochs):
         ent /= np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-12)
         b = sc.broadcast((ent, rel))
@@ -457,22 +487,7 @@ def fit_embeddings_distributed(
             ),
             schema="sh long, kind int, id long, delta array<double>",
         )
-        # fold the per-shard deltas in SHARD order (sort_array on the sh
-        # key): float addition is not associative, so an unordered
-        # collect_list fold would drift ~1e-16/step across partitionings —
-        # amplified over epochs into visible divergence.
-        summed = deltas.groupBy("kind", "id").agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("sh", "delta"))
-                    ),
-                    lambda x: x["delta"],
-                ),
-                zero,
-                lambda acc, v: F.zip_with(acc, v, lambda a, b_: a + b_),
-            ).alias("delta")
-        )
+        summed = _ordered_delta_sum(deltas, dim)
         pdf = summed.toPandas()  # <= (touched ids) rows — model-bounded
         b.unpersist()
         if len(pdf) == 0:
@@ -492,6 +507,327 @@ def fit_embeddings_distributed(
                 lr=lr, bias=bias, batch=batch,
             )
     return ent.astype(np.float32), rel.astype(np.float32)
+
+
+def _epoch_negative_draws(
+    kernel: str,
+    n: int,
+    rng: np.random.Generator,
+    n_ent: int,
+    n_rel: int,
+    batch: int,
+    n_neg: int,
+) -> np.ndarray:
+    """Replay one epoch's rng call sequence and return every ENTITY id
+    drawn as a negative. Both kernels' rng consumption is value-
+    independent — permutation(n), then fixed-size draws per batch — so
+    the exact set of entity rows an epoch will touch is knowable from
+    (seed, epoch, shard) and the shard's triple count alone, BEFORE any
+    embedding is read. This is what makes the gather-join ("parameter
+    pull") of the table-sharded trainer exact rather than approximate.
+
+    MUST mirror _transe_sgd_epoch / _ptranse_sgd_epoch call-for-call;
+    the bit-parity pytest vs fit_embeddings_distributed pins the two.
+    """
+    rng.permutation(n)  # consumed identically by the kernel
+    out = []
+    for s in range(0, n, batch):
+        m = min(batch, n - s)
+        if kernel == "ptranse":
+            for _ in range(2 * n_neg):  # head_neg reps, then tail_neg reps
+                out.append(rng.integers(0, n_ent, m))
+            rng.integers(0, n_rel, m)  # rel_neg — rel matrix is global
+        else:
+            rng.random(m)  # corrupt_head coin flips
+            out.append(rng.integers(0, n_ent, m))
+    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+
+class _RemapRng:
+    """Generator shim for the table-sharded trainer: delegates every rng
+    call, but remaps entity-range integer draws (hi == n_ent) into LOCAL
+    row indices of the shard's gathered embedding block via searchsorted
+    over the sorted gathered ids. Because the plan pass replayed the
+    identical draw sequence, every drawn id is guaranteed gathered. The
+    underlying rng stream — and hence the arithmetic — is bit-identical
+    to the broadcast trainer's."""
+
+    def __init__(self, rng: np.random.Generator, sorted_ids: np.ndarray, n_ent: int):
+        self._rng, self._ids, self._n_ent = rng, sorted_ids, n_ent
+
+    def permutation(self, n):
+        return self._rng.permutation(n)
+
+    def random(self, size=None):
+        return self._rng.random(size)
+
+    def integers(self, lo, hi, size=None):
+        raw = self._rng.integers(lo, hi, size)
+        if hi == self._n_ent:
+            return np.searchsorted(self._ids, raw)
+        return raw
+
+
+def _canon_tri(pdf: pd.DataFrame) -> np.ndarray:
+    tri = pdf[["h", "r", "t"]].to_numpy(dtype=np.int64)
+    if len(tri):
+        tri = tri[np.lexsort((tri[:, 2], tri[:, 1], tri[:, 0]))]
+    return tri
+
+
+def _epoch_planner(dim, n_ent, n_rel, batch, seed, epoch, kernel, n_neg):
+    """mapInPandas closure: per shard, emit the (sh, id) entity rows the
+    training pass will need — {h, t} plus the replayed negative draws.
+    Integer-only work; no vectors move."""
+
+    def _run(it):
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for sh, g in pdf.groupby("_sh", sort=True):
+            tri = _canon_tri(g)
+            rng = np.random.default_rng((seed, epoch, int(sh)))
+            draws = _epoch_negative_draws(
+                kernel, len(tri), rng, n_ent, n_rel, batch, n_neg
+            )
+            ids = np.unique(np.concatenate([tri[:, 0], tri[:, 2], draws]))
+            yield pd.DataFrame({"sh": np.full(len(ids), int(sh), dtype=np.int64),
+                                "id": ids.astype(np.int64)})
+
+    return _run
+
+
+def _epoch_table_trainer(
+    b_rel, dim, n_ent, n_rel, lr, margin, batch, seed, epoch,
+    kernel="transe", n_neg=15, bias=7.0,
+):
+    """Cogrouped applyInPandas closure: (shard triples, shard gathered
+    entity rows) -> parameter deltas. Runs the SAME per-epoch kernel as
+    the broadcast trainer on a compact local entity block (global ids
+    remapped positionally), so per-id arithmetic — and the emitted
+    deltas — are bit-identical. Only the relation matrix (schema-sized
+    even at 10^12 docs) ships as a broadcast."""
+
+    def _run(key, tri_pdf, vec_pdf):
+        if len(tri_pdf) == 0 or len(vec_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "sh": np.empty(0, dtype=np.int64),
+                    "kind": np.empty(0, dtype=np.int32),
+                    "id": np.empty(0, dtype=np.int64),
+                    "delta": pd.Series([], dtype=object),
+                }
+            )
+        sh = int(key[0])
+        tri = _canon_tri(tri_pdf)
+        vp = vec_pdf.sort_values("id")
+        ids = vp["id"].to_numpy(dtype=np.int64)
+        ent0 = np.stack(vp["vec"].to_numpy()).astype(np.float64)
+        rel0 = b_rel.value
+        ent = ent0.copy()
+        rel = rel0.copy()
+        ltri = tri.copy()
+        ltri[:, 0] = np.searchsorted(ids, tri[:, 0])
+        ltri[:, 2] = np.searchsorted(ids, tri[:, 2])
+        rng = _RemapRng(np.random.default_rng((seed, epoch, sh)), ids, n_ent)
+        if kernel == "ptranse":
+            _ptranse_sgd_epoch(
+                ent, rel, ltri, rng, n_ent, n_rel,
+                lr=lr, n_neg=n_neg, bias=bias, batch=batch,
+            )
+        else:
+            _transe_sgd_epoch(
+                ent, rel, ltri, rng, n_ent, lr=lr, margin=margin, batch=batch
+            )
+        de = ent - ent0
+        loc = np.nonzero(np.abs(de).sum(axis=1) > 0)[0]
+        dr = rel - rel0
+        rel_ids = np.nonzero(np.abs(dr).sum(axis=1) > 0)[0]
+        return pd.DataFrame(
+            {
+                "sh": np.full(len(loc) + len(rel_ids), sh, dtype=np.int64),
+                "kind": np.concatenate(
+                    [np.zeros(len(loc), dtype=np.int32),
+                     np.ones(len(rel_ids), dtype=np.int32)]
+                ),
+                "id": np.concatenate([ids[loc], rel_ids]).astype(np.int64),
+                # explicit object dtype: a zero-delta epoch would otherwise
+                # infer an empty float64 column, which Arrow cannot convert
+                # to list<double>
+                "delta": pd.Series(list(de[loc]) + list(dr[rel_ids]), dtype=object),
+            }
+        )
+
+    return _run
+
+
+def _normalize_ent_rows(it):
+    """mapInPandas: per-row L2 normalization of (id, vec) — the same
+    numpy call the broadcast trainer applies to the full matrix, row-
+    independent, so results are identical under any batching."""
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        yield pd.DataFrame({"id": pdf["id"].to_numpy(dtype=np.int64), "vec": list(m)})
+
+
+def init_embedding_table(
+    spark, n_ent: int, dim: int = DIM, seed: int = 42
+) -> DataFrame:
+    """Distributed (id, vec array<double>) init — per-id counter-keyed
+    rng, so no row ever depends on |V| or on any other row, and the
+    matrix is NEVER materialized in one place."""
+    bound = 6.0 / np.sqrt(dim)
+
+    def _init(it):
+        for pdf in it:
+            vecs = [
+                np.random.default_rng((seed, 0xE27, int(i))).uniform(
+                    -bound, bound, dim
+                )
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(dtype=np.int64), "vec": vecs})
+
+    return spark.range(n_ent).mapInPandas(_init, schema="id long, vec array<double>")
+
+
+def fit_embeddings_table(
+    id_triples: DataFrame,
+    n_ent: int,
+    n_rel: int,
+    dim: int = DIM,
+    epochs: int = EPOCHS,
+    lr: float = LR,
+    margin: float = MARGIN,
+    seed: int = 42,
+    batch: int = 4096,
+    n_shards: int | None = None,
+    kernel: str = "transe",
+    n_neg: int = 15,
+    bias: float = 7.0,
+    paths: np.ndarray | None = None,
+    path_weights: np.ndarray | None = None,
+    init: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """Table-sharded TransE/PTransE: entity embeddings live as an
+    (id, vec) DataFrame for the WHOLE training run — the entity matrix
+    is never materialized on the driver, removing the |V| <= driver-
+    memory cap of ``fit_embeddings_distributed`` (round-2 VERDICT
+    "What's wrong" #2). Returns (ent_df(id, vec array<float>), rel).
+
+    Per epoch (same parameter-averaging semantics as the broadcast
+    trainer, bit-identical given the same init — pinned by pytest):
+
+      1. normalize: mapInPandas row L2 (numpy, row-independent);
+      2. plan:      replay each shard's rng draw sequence (value-
+                    independent) -> the exact (sh, id) set the shard
+                    will touch, integers only;
+      3. gather:    plan JOIN ent_df on id — the "parameter pull",
+                    bounded by (2 + draws/triple) x shard triples,
+                    never |V| x S;
+      4. train:     cogrouped applyInPandas (shard triples x gathered
+                    rows): the SAME sgd kernel on a compact local block
+                    (_RemapRng remaps entity draws to local indices);
+      5. apply:     ordered shard-fold of deltas; entity rows merge
+                    back by JOIN (vec + delta/S, one zip_with); the
+                    schema-sized relation deltas fold on the driver
+                    (relation vocab stays thousands at 10^12 docs, so
+                    driver-resident IS the scalable placement — same
+                    argument as the PCRA path table).
+
+    The per-epoch state is localCheckpoint-ed (lineage truncation; on a
+    real cluster swap for checkpoint.StageStore parquet rounds to make
+    epochs resumable). ``kernel='ptranse'`` requires n_ent != n_rel —
+    _RemapRng disambiguates entity vs relation draws by range, which is
+    exact for every real vocabulary (entities >> relations); use the
+    broadcast trainer for degenerate toy graphs.
+
+    Scoring composes without any driver hop: feed the returned ent_df
+    straight to ``add_transe_energy_join``.
+    """
+    if kernel == "ptranse" and n_ent == n_rel:
+        raise ValueError(
+            "fit_embeddings_table(kernel='ptranse') needs n_ent != n_rel "
+            "(draw-range disambiguation); use fit_embeddings_distributed"
+        )
+    spark = id_triples.sparkSession
+    if n_shards is None:
+        n_shards = _default_shards(spark, id_triples.count())
+    sharded = _shard_triples(id_triples, n_shards, seed)
+    if init is not None:  # test hook: shared start point for parity checks
+        ent_df = spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(init[0])],
+            schema="id long, vec array<double>",
+        ).localCheckpoint(eager=True)
+        rel = init[1].astype(np.float64).copy()
+    else:
+        ent_df = init_embedding_table(spark, n_ent, dim, seed).localCheckpoint(
+            eager=True
+        )
+        # rel stream key disjoint from every entity row's (seed, 0xE27, id)
+        rel = np.random.default_rng((seed, 0xE28)).uniform(
+            -6.0 / np.sqrt(dim), 6.0 / np.sqrt(dim), (n_rel, dim)
+        )
+        if kernel != "ptranse":
+            rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-12)
+    to_f32 = F.transform(F.col("vec"), lambda x: x.cast("float")).alias("vec")
+    if sharded.isEmpty():
+        return ent_df.select("id", to_f32), rel.astype(np.float32)
+    sc = spark.sparkContext
+    for ep in range(epochs):
+        ent_df = ent_df.mapInPandas(
+            _normalize_ent_rows, schema="id long, vec array<double>"
+        ).localCheckpoint(eager=True)
+        b_rel = sc.broadcast(rel)
+        plan = sharded.mapInPandas(
+            _epoch_planner(dim, n_ent, n_rel, batch, seed, ep, kernel, n_neg),
+            schema="sh long, id long",
+        )
+        gathered = plan.join(ent_df, "id").select("sh", "id", "vec")
+        deltas = (
+            sharded.groupBy("_sh")
+            .cogroup(gathered.groupBy("sh"))
+            .applyInPandas(
+                _epoch_table_trainer(
+                    b_rel, dim, n_ent, n_rel, lr, margin, batch, seed, ep,
+                    kernel=kernel, n_neg=n_neg, bias=bias,
+                ),
+                schema="sh long, kind int, id long, delta array<double>",
+            )
+        )
+        summed = _ordered_delta_sum(deltas, dim).localCheckpoint(eager=True)
+        rel_pdf = summed.filter(F.col("kind") == 1).toPandas()  # n_rel-bounded
+        b_rel.unpersist()
+        if len(rel_pdf):
+            rids = rel_pdf["id"].to_numpy(dtype=np.int64)
+            rel[rids] += np.stack(rel_pdf["delta"].to_numpy()) / float(n_shards)
+        ent_delta = summed.filter(F.col("kind") == 0).select("id", "delta")
+        s_inv = F.lit(float(n_shards))
+        ent_df = (
+            ent_df.join(ent_delta, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("delta").isNull(), F.col("vec"))
+                .otherwise(
+                    F.zip_with(
+                        F.col("vec"), F.col("delta"), lambda a, d: a + d / s_inv
+                    )
+                )
+                .alias("vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if kernel == "ptranse" and paths is not None and len(paths):
+            path_rng = np.random.default_rng((seed, ep, 10**9 + 7))
+            _ptranse_path_epoch(
+                rel, paths, path_weights, path_rng, n_rel,
+                lr=lr, bias=bias, batch=batch,
+            )
+    return ent_df.select("id", to_f32), rel.astype(np.float32)
 
 
 DRIVER_FIT_MAX_TRIPLES = 5_000_000
@@ -524,7 +860,13 @@ def fit_embeddings_from_df(
     kernel — paying per-epoch Spark-job overhead for a 40 MB dataset is
     pure waste. Larger inputs route to ``fit_embeddings_distributed``
     (per-shard SGD + parameter averaging; no full-dataset collect) with
-    the same per-epoch kernel. Same routing pattern as the CC union-find
+    the same per-epoch kernel. Beyond that, when the VOCABULARY itself
+    outgrows driver memory (|V| >= ~1e8 at dim=100), call
+    ``fit_embeddings_table`` directly — same epoch semantics
+    (bit-identical given the same init), entity matrix kept as an
+    (id, vec) table end to end, composing with
+    ``add_transe_energy_join`` for scoring; it returns a DataFrame, so
+    it is a deliberate caller choice, not a size-route here. Same routing pattern as the CC union-find
     (extract/canonicalize.py). The driver path sorts triples canonically
     first, so both paths are deterministic under any input partitioning.
     """
