@@ -134,3 +134,23 @@ def test_score_triples_crisscross_end_to_end(spark):
     pos = pdf[pdf.flag == 1]["conf"].mean()
     neg = pdf[pdf.flag == -1]["conf"].mean()
     assert pos > neg, (pos, neg)
+
+
+def test_fit_max_steps_budget_and_determinism():
+    """max_steps bounds total minibatch updates (the bench tier's
+    wall-time knob): a 3-step budget returns a valid, deterministic
+    params dict and differs from the unbudgeted fit (i.e. the cap
+    actually cut training short)."""
+    batch, y, params, emb = _tiny_setup(B=40)
+    a = cc.fit_crisscross(batch, y, emb[0], emb[1], mb=8, epochs=5,
+                          max_steps=3, seed=3)
+    b = cc.fit_crisscross(batch, y, emb[0], emb[1], mb=8, epochs=5,
+                          max_steps=3, seed=3)
+    full = cc.fit_crisscross(batch, y, emb[0], emb[1], mb=8, epochs=5, seed=3)
+    for k in cc._trained_keys(a):
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+        assert np.isfinite(np.asarray(a[k])).all(), k
+    assert any(
+        not np.array_equal(np.asarray(a[k]), np.asarray(full[k]))
+        for k in cc._trained_keys(a)
+    )

@@ -182,3 +182,68 @@ def test_cli_errors_subcommand(spark, tmp_path, monkeypatch):
     # parquet contract, so no order assertion here — lowest_confidence's
     # bottom-k semantics is pinned by its own unit test)
     assert all(c is not None for c in confs)
+
+
+def test_bucket_layout_contract(spark, tmp_path):
+    """The parquet sink honors the documented Iceberg ``bucket(N, s)``
+    contract (io_util.write_partitioned + streaming's partitioned sink):
+    (a) bucket id == pmod(xxhash64(key), N) exactly; (b) each output
+    file holds rows of ONE bucket only (subject co-location — a reader
+    filtering one subject hash touches one bucket's files, the pruned
+    scan the Iceberg spec would give); (c) rows are sorted within files
+    by the declared sort columns; (d) the bucket=K directory layout of
+    the streaming sink prunes: reading one subdirectory yields exactly
+    that bucket's rows. Green here == the layout swap to
+    .format('iceberg') changes the catalog, not the data placement."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.io_util import write_partitioned
+
+    n_buckets = 8
+    df = spark.range(500).select(
+        F.concat(F.lit("S"), (F.col("id") % 97).cast("string")).alias("s"),
+        F.concat(F.lit("P"), (F.col("id") % 5).cast("string")).alias("p"),
+        F.col("id").cast("string").alias("o"),
+    )
+    path = str(tmp_path / "bucketed")
+    write_partitioned(df, path, bucket_col="s", n_buckets=n_buckets,
+                      sort_cols=["s", "p", "o"])
+
+    want_bucket = {
+        r["s"]: r["b"]
+        for r in df.select(
+            "s", F.pmod(F.xxhash64("s"), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    }
+    files = sorted(glob.glob(path + "/bucket=*/part-*.parquet"))
+    assert len(files) > 0
+    seen_rows = 0
+    for f in files:
+        dir_bucket = int(f.split("bucket=")[1].split("/")[0])
+        t = pq.read_table(f)
+        rows = list(zip(t["s"].to_pylist(), t["p"].to_pylist(), t["o"].to_pylist()))
+        seen_rows += len(rows)
+        # (a)+(b): every row's hash-bucket == its file's directory bucket
+        assert {want_bucket[s] for s, _, _ in rows} == {dir_bucket}, f
+        # (c): sorted within the file by (s, p, o)
+        assert rows == sorted(rows), f
+    assert seen_rows == 500
+    # directory set == the occupied bucket ids, so bucket=k pruning is real
+    dirs = {int(d.split("bucket=")[1]) for d in glob.glob(path + "/bucket=*")}
+    assert dirs == set(want_bucket.values())
+
+    # (d) streaming sink layout: bucket=K dirs prune to exactly bucket K
+    out2 = str(tmp_path / "sink")
+    (df.withColumn("bucket", F.pmod(F.xxhash64("s", "p", "o"), F.lit(n_buckets)))
+       .write.partitionBy("bucket").parquet(out2))
+    one = spark.read.parquet(out2 + "/bucket=3")
+    got = sorted(map(tuple, one.select("s", "p", "o").collect()))
+    want = sorted(
+        map(tuple,
+            df.filter(F.pmod(F.xxhash64("s", "p", "o"), F.lit(n_buckets)) == 3)
+            .collect())
+    )
+    assert got == want and len(got) > 0

@@ -49,11 +49,25 @@ def write_partitioned(
     fmt: str = "parquet",
     mode: str = "overwrite",
 ) -> None:
-    """Bucket-layout write: one shuffle on pmod(xxhash64(bucket_col)),
-    sorted within partitions for downstream merge-friendly scans."""
-    out = df.repartition(
-        n_buckets, F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
-    )
+    """Bucket-layout write honoring the Iceberg ``bucket(N, col)``
+    contract at FILE granularity: an explicit ``bucket`` column
+    (pmod(xxhash64(col), N)) drives both the shuffle AND a
+    ``partitionBy`` directory per bucket, so every data file holds rows
+    of exactly one bucket and a reader prunes to ``bucket=k``
+    directories. Sorted within partitions for merge-friendly scans.
+
+    Round-3 fix (pinned by tests/test_pipeline.py bucket-layout
+    contract test): the previous ``repartition(N, pmod(...))`` only
+    CO-LOCATED equal keys — Spark hash-partitions the pmod value again,
+    so files mixed bucket ids and the documented one-file-one-bucket
+    pruning contract did not actually hold on disk.
+    """
+    out = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+    ).repartition(n_buckets, "bucket")
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    getattr(out.write.mode(mode), fmt)(path)
+        # bucket first: the dynamic-partition writer requires rows sorted
+        # by partition columns and would otherwise insert its own
+        # (non-stable) sort, destroying the data ordering
+        out = out.sortWithinPartitions("bucket", *sort_cols)
+    getattr(out.write.mode(mode).partitionBy("bucket"), fmt)(path)

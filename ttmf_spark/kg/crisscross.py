@@ -320,10 +320,18 @@ def fit_crisscross(
     patience: int = 20,
     seed: int = 42,
     dropout: bool = True,
+    max_steps: int | None = None,
 ) -> dict:
     """Adam + BPTT over the labeled pair set; early stop on 10% holdout
     loss (eval-mode forward), restore best. Returns the params dict
-    (running BN stats included) — the broadcastable fitted artifact."""
+    (running BN stats included) — the broadcastable fitted artifact.
+
+    ``max_steps`` bounds TOTAL minibatch updates regardless of dev-set
+    size — the wall-time knob for the benched tier: fit cost becomes
+    O(max_steps * mb) forward/backward passes instead of
+    O(epochs * n_dev), so a 10x larger labeled set costs the same fit
+    (it sees a proportionally smaller number of epochs; early stopping
+    already handled the converged-sooner case)."""
     emb = (np.asarray(ent, dtype=np.float64), np.asarray(rel, dtype=np.float64))
     params = init_params(emb[0].shape[1], emb[1].shape[1], seed=seed)
     keys = _trained_keys(params)
@@ -347,8 +355,12 @@ def fit_crisscross(
     }
     best_loss, bad, step = np.inf, 0, 0
     for _ in range(epochs):
+        if max_steps is not None and step >= max_steps:
+            break
         order = rng.permutation(len(ti))
         for s0 in range(0, len(ti), mb):
+            if max_steps is not None and step >= max_steps:
+                break
             bi = ti[order[s0 : s0 + mb]]
             if len(bi) < 2:  # BN needs a batch
                 continue

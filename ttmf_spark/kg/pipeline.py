@@ -204,9 +204,18 @@ def attach_features(ctx: FeatureContext, query: DataFrame) -> DataFrame:
 
 
 def fit_fusion(
-    ctx: FeatureContext, model: TTMFModel, kind: str = "logistic", seed: int = 42
+    ctx: FeatureContext,
+    model: TTMFModel,
+    kind: str = "logistic",
+    seed: int = 42,
+    fit_kw: dict | None = None,
 ) -> TTMFModel:
-    """Train the fusion layer on the labeled dev pairs (driver-side)."""
+    """Train the fusion layer on the labeled dev pairs (driver-side).
+
+    ``fit_kw`` (crisscross only) forwards budget knobs to
+    crisscross.fit_crisscross — e.g. {"epochs": 20, "max_steps": 4000}
+    bounds the benched tier's fit wall time independent of dev-set size.
+    """
     feats = attach_features(ctx, ctx.dev_pairs)
     if kind == "crisscross":
         feats = paths.path_features(feats, ctx.ranked_paths)
@@ -215,7 +224,7 @@ def fit_fusion(
         # frozen embeddings = the PATH vectors (Model1 loads PTransE ones)
         model.fusion_weights = crisscross.fit_crisscross(
             crisscross.batch_from_pandas(pdf), y, model.p_ent, model.p_rel,
-            seed=seed,
+            seed=seed, **(fit_kw or {}),
         )
         model.fusion_kind = kind
         return model
@@ -257,18 +266,20 @@ def score_triples(
     store: StageStore | None = None,
     transe_kw: dict | None = None,
     ptranse_kw: dict | None = None,
+    fusion_kw: dict | None = None,
 ) -> tuple[DataFrame, TTMFModel]:
     """Full flow: string (s, p, o) -> (s, p, o, conf, ...features).
 
     The flagship "query" of the engine (SURVEY.md §3.3): per-triple
-    confidence from the three fused trust levels.
+    confidence from the three fused trust levels. ``fusion_kw`` forwards
+    fit-budget knobs to the fusion tier (see fit_fusion).
     """
     ctx, model = build_context(
         spark, triples, depth=depth, seed=seed, store=store,
         transe_kw=transe_kw, ptranse_kw=ptranse_kw,
     )
     t0 = time.perf_counter()
-    model = fit_fusion(ctx, model, kind=kind, seed=seed)
+    model = fit_fusion(ctx, model, kind=kind, seed=seed, fit_kw=fusion_kw)
     if store is not None:
         store.log_timing("fusion_fit", time.perf_counter() - t0)
     scored = score_ids(spark, ctx, model, ctx.id_triples)
