@@ -71,7 +71,8 @@ TRANSE_EPOCHS = int(os.environ.get("SPARK_GRAFT_TRANSE_EPOCHS", "10"))
 # updates, so the fit wall time is independent of dev-set size (the
 # round-2 VERDICT's ~20 min full-budget fit becomes a bounded bench tier)
 CC_EPOCHS = int(os.environ.get("SPARK_GRAFT_CC_EPOCHS", "20"))
-CC_MAX_STEPS = int(os.environ.get("SPARK_GRAFT_CC_MAX_STEPS", "4000"))
+# ~50 ms/step measured (sf0.001, mb=64): 1200 steps ~= 60 s fit bound
+CC_MAX_STEPS = int(os.environ.get("SPARK_GRAFT_CC_MAX_STEPS", "1200"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 # scaling-only mode: skip the headline queries and run just the pinned
 # ladder (used to re-measure efficiency without paying ~3 min of query
