@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_triples": Q.q_kg_path_triples,
         "kg_ptranse_dev_loss": Q.q_kg_ptranse_dev_loss,
         "emb_topk": Q.q_emb_topk,
-        "doc_exact_dedup": Q.q_doc_exact_dedup,
+        "kg_components_delta": Q.q_kg_components_delta,
         # --- end driver window; below re-pinned by tests/test_queries_oracle.py ---
         # corpus + extraction front end
         "span_flatten": Q.q_span_flatten,
@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data pipeline: text analysis + dedup (r1/r2-gated core)
         "doc_stats": Q.q_doc_stats,
         "doc_quality": Q.q_doc_quality,
+        "doc_exact_dedup": Q.q_doc_exact_dedup,
         "doc_langid": Q.q_doc_langid,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "doc_minhash_pairs": Q.q_doc_minhash_pairs,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_snapshot_diff": oracles_kg.kg_snapshot_diff_sql(),
         "kg_communities": oracles_kg.kg_communities_sql(),
         "kg_components": oracles_kg.kg_components_sql(),
+        "kg_components_delta": oracles_kg.kg_components_sql(),
         "kg_anf": oracles_kg.kg_anf_sql(),
         "kg_hits": oracles_kg.kg_hits_sql(),
         "kg_walks": oracles_kg.kg_walks_sql(),

@@ -62,6 +62,63 @@ def test_connected_components_empty(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_components_incremental_matches_full_recompute(spark):
+    """Incremental label maintenance (components_incremental) == full CC on
+    the union graph, across every delta shape: a bridge merging two base
+    components, an edge landing inside one component (no-op), brand-new
+    nodes attaching to an old component, a brand-new isolated pair, and a
+    new node whose id undercuts the old labels (label must move to it)."""
+    from ttmf_spark.extract.canonicalize import components_incremental
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (30, 31)], ["src", "dst"]
+    )
+    delta = spark.createDataFrame(
+        [
+            (3, 10),    # bridge: merges comp{1,2,3} with comp{10,11}
+            (1, 3),     # intra-component edge: must be a no-op
+            (20, 40),   # brand-new node 40 joins old singleton 20
+            (50, 51),   # brand-new isolated pair
+            (0, 30),    # new node 0 < old label 30: label must become 0
+        ],
+        ["src", "dst"],
+    )
+    base_labels = connected_components(base)
+    got = {
+        r.node: r.component
+        for r in components_incremental(base_labels, delta).collect()
+    }
+    full = {
+        r.node: r.component
+        for r in connected_components(base.unionByName(delta)).collect()
+    }
+    assert got == full
+    assert got[10] == 1 and got[40] == 20 and got[50] == 50 and got[30] == 0
+
+    # distributed merge-CC route forced: identical labels
+    got_dist = {
+        r.node: r.component
+        for r in components_incremental(
+            base_labels, delta, driver_max_edges=0
+        ).collect()
+    }
+    assert got_dist == full
+
+
+def test_components_incremental_empty_delta(spark):
+    """An empty batch must return the base labeling unchanged."""
+    from ttmf_spark.extract.canonicalize import components_incremental
+
+    base = spark.createDataFrame([(1, 2), (5, 6)], ["src", "dst"])
+    labels = connected_components(base)
+    delta = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in components_incremental(labels, delta).collect()
+    }
+    assert got == {r.node: r.component for r in labels.collect()}
+
+
 def test_link_disambiguation_prior_then_entity(spark):
     gaz = spark.createDataFrame(
         [

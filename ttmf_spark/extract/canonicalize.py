@@ -163,6 +163,68 @@ def canonical_map(same_as: DataFrame) -> DataFrame:
     return cc.select(F.col("node").alias("entity"), F.col("component").alias("canonical"))
 
 
+def components_incremental(
+    base_labels: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **cc_kwargs,
+) -> DataFrame:
+    """Fold a batch of new edges into an existing labeling without a full
+    recompute: (node, component) for the union graph.
+
+    The 100 TB maintenance path: a trillion-row KG's alias/skeleton graph
+    is re-canonicalized incrementally as extraction batches land, not by
+    re-contracting the whole edge set. Each delta edge is contracted
+    through the existing labels (label(u), label(v)) — one join against
+    the label table — and connected components runs only on that
+    DELTA-SIZED component-level graph. Because every existing label is
+    the min member id of its component, the min over merged labels is the
+    min over all members, so the result is IDENTICAL to a full recompute
+    over base+delta edges (pinned by test and by the driver oracle, which
+    recomputes from scratch in SQL).
+
+    Cost: one (broadcastable, merge-map-sized) relabel join over the base
+    label table + a CC on |delta| edges. Hot components (many delta edges
+    landing in one giant component) collapse to a single contracted node
+    up front, so delta skew never amplifies.
+
+    ``base_labels``: (node, component) as produced by
+    ``connected_components`` (component = min member id — required).
+    """
+    d = delta_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    lu = base_labels.select(F.col("node").alias("u"), F.col("component").alias("_cu"))
+    lv = base_labels.select(F.col("node").alias("v"), F.col("component").alias("_cv"))
+    # contract each delta edge through the current labels; unseen endpoints
+    # (brand-new nodes) stand for themselves
+    contracted = (
+        d.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            F.coalesce("_cu", F.col("u")).alias("src"),
+            F.coalesce("_cv", F.col("v")).alias("dst"),
+        )
+    )
+    # CC on the component-level graph: nodes are old labels + new node ids,
+    # output label = min over merged old labels / new ids = global min member
+    merge = connected_components(contracted, **cc_kwargs)
+    relabel = merge.select(
+        F.col("node").alias("_old"), F.col("component").alias("_new")
+    )
+    # the merge map is delta-bounded — broadcast it onto the big label table
+    updated = (
+        base_labels.join(
+            F.broadcast(relabel), base_labels["component"] == relabel["_old"], "left"
+        )
+        .select("node", F.coalesce("_new", "component").alias("component"))
+    )
+    # brand-new nodes appear only in the merge map
+    new_nodes = merge.join(
+        base_labels.select("node"), "node", "left_anti"
+    ).select("node", "component")
+    return updated.unionByName(new_nodes)
+
+
 def apply_canonical(
     df: DataFrame, mapping: DataFrame, cols: list[str], broadcast_map: bool = True
 ) -> DataFrame:

@@ -16,7 +16,7 @@ import numpy as np
 from ttmf_spark import corpus
 from ttmf_spark.datapipe import classify, dedup, events, multimodal, similarity, textstats
 from ttmf_spark.datapipe import curation as curation_ops
-from ttmf_spark.extract import cooccur, extract_triples
+from ttmf_spark.extract import canonicalize, cooccur, extract_triples
 from ttmf_spark.kg import (
     encode,
     evaluate,
@@ -1076,6 +1076,28 @@ def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-sweep pointer-jumping min-label (kg_components_sql)."""
     idt, _ = _id_triples(spark, sf_dir)
     return graph.components(idt, driver_max_edges=0)
+
+
+def q_kg_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance
+    (canonicalize.components_incremental): the KG skeleton's edges are
+    deterministically split into a base batch (7/8) and a delta batch
+    (1/8, portable md5 split — the split exists only on the Spark side);
+    the base is labeled once, then the delta is folded in by contracting
+    each new edge through the existing labels and relabeling via a
+    delta-bounded broadcast map — never re-contracting the base graph.
+    The oracle is the SAME full-recompute pointer-jumping twin as
+    kg_components: a green row proves incremental == from-scratch on the
+    union graph (min-member labels are merge-stable)."""
+    from ttmf_spark.extract.canonicalize import components_incremental
+
+    idt, _ = _id_triples(spark, sf_dir)
+    e = idt.select(F.col("h").alias("src"), F.col("t").alias("dst"))
+    is_delta = (_h(["src", "dst"], seed=7) % F.lit(8)) == 0
+    base = e.filter(~is_delta)
+    delta = e.filter(is_delta)
+    base_labels = canonicalize.connected_components(base)
+    return components_incremental(base_labels, delta)
 
 
 def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
