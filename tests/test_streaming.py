@@ -39,6 +39,43 @@ def test_incremental_extract_matches_batch(spark, tmp_path):
     assert got.exceptAll(truth).count() == 0
 
 
+def test_canonicalize_stream_matches_batch(spark, tmp_path):
+    """Streaming alias-graph canonicalization (canonicalize_stream):
+    edge files land in three drops processed one file per micro-batch —
+    so components merge ACROSS batches through the incremental fold — and
+    the served labeling must equal a from-scratch connected_components
+    over everything landed, after the backlog run AND after a resume."""
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.extract.canonicalize import connected_components
+
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    in_dir = str(tmp_path / "alias_in")
+    labels = str(tmp_path / "labels")
+    ck = str(tmp_path / "alias_ck")
+
+    # split so each alias chain's two hops (A->B, B->canonical) land in
+    # DIFFERENT micro-batches: the fold must merge existing components
+    part = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+    same.filter(part == 0).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    same.filter(part == 1).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = streaming.canonicalize_stream(spark, in_dir, labels, ck, max_files=1)
+    q.awaitTermination(300)
+    got = streaming.read_canonical_labels(spark, labels)
+    want = connected_components(same.filter(part != 2))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # third drop after a stop: the restarted query folds only the new file
+    same.filter(part == 2).coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming.canonicalize_stream(spark, in_dir, labels, ck, max_files=1)
+    q.awaitTermination(300)
+    got2 = streaming.read_canonical_labels(spark, labels)
+    want2 = connected_components(same)
+    assert got2.exceptAll(want2).count() == 0
+    assert want2.exceptAll(got2).count() == 0
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     """Watermarked streaming windowed agg == batch operator on emitted
     windows, with late (out-of-order) events landing in their correct

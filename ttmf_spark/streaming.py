@@ -449,6 +449,102 @@ def near_dup_stream(
     )
 
 
+ALIAS_SCHEMA = "src string, dst string"
+
+
+def _list_label_versions(spark: SparkSession, labels_dir: str) -> list[int]:
+    """Batch-id versions present under the label sink (Hadoop FS, so the
+    probe works for s3/hdfs/local URIs alike; missing dir = no versions)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(labels_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def read_canonical_labels(spark: SparkSession, labels_dir: str) -> DataFrame:
+    """The CURRENT (node, component) labeling: the highest committed
+    version under the sink."""
+    versions = _list_label_versions(spark, labels_dir)
+    if not versions:
+        raise FileNotFoundError(f"no label versions under {labels_dir}")
+    return spark.read.schema("node string, component string").parquet(
+        f"{labels_dir}/v={versions[-1]}"
+    )
+
+
+def canonicalize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    labels_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    max_files: int = 16,
+):
+    """Incremental alias-graph canonicalization: as same_as edge files
+    land, maintain the (node, component) canonical-label table by folding
+    each micro-batch into the previous labeling with
+    ``canonicalize.components_incremental`` — the trillion-row base graph
+    is never re-contracted; each batch costs one relabel join plus a CC
+    on the batch-sized merge graph.
+
+    Exactly-once / resume: the file-source checkpoint assigns each file
+    to exactly one ``batch_id``; labels are written to
+    ``{labels_dir}/v={batch_id}`` (mode overwrite) and each batch folds
+    into the highest version STRICTLY BELOW its own id, so a replayed
+    batch (crash after write, before checkpoint commit) rebuilds from the
+    same predecessor state and overwrites its own partial output —
+    idempotent by construction. ``read_canonical_labels`` serves the
+    newest committed version; after any prefix of the stream it equals a
+    from-scratch ``connected_components`` over every edge landed so far
+    (min-member labels are merge-stable; pinned by
+    tests/test_streaming.py against the batch twin).
+
+    Scale shape: per batch, the big side (the label table) is touched by
+    ONE join against a delta-bounded broadcast merge map; state is the
+    label table itself, stored versioned (production swaps the versioned
+    parquet dirs for Iceberg snapshots of one table and keeps only the
+    newest — same contract, catalog-managed retention).
+    """
+    from ttmf_spark.extract.canonicalize import (
+        components_incremental,
+        connected_components,
+    )
+
+    sdf = (
+        spark.readStream.schema(ALIAS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        prior = [v for v in _list_label_versions(spark, labels_dir) if v < batch_id]
+        if prior:
+            base = spark.read.schema("node string, component string").parquet(
+                f"{labels_dir}/v={prior[-1]}"
+            )
+            labels = components_incremental(base, batch_df)
+        else:
+            labels = connected_components(batch_df)
+        labels.write.mode("overwrite").parquet(f"{labels_dir}/v={batch_id}")
+
+    writer = sdf.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def cms_stream(
     spark: SparkSession,
     input_dir: str,
