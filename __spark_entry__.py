@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus + extraction front end
         "span_flatten": Q.q_span_flatten,
         "extract_triples": Q.q_extract_triples,
+        "kg_triple_support": Q.q_kg_triple_support,
         "kg_extraction_pr": Q.q_kg_extraction_pr,
         # KG layer (SURVEY.md §2.3-2.7)
         "kg_cooccurrence": Q.q_kg_cooccurrence,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "span_flatten": oracles.span_flatten_sql(),
         "extract_triples": oracles.truth_triples_sql(),
+        "kg_triple_support": oracles.kg_triple_support_sql(),
         "kg_extraction_pr": oracles.kg_extraction_pr_sql(),
         "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
         "kg_entity2id": oracles_kg.kg_entity2id_sql(),

@@ -461,7 +461,13 @@ def _scaling_probe(spark, docs_path, timings, extras) -> None:
 
 
 def _emit(timings, extras) -> None:
-    total = sum(timings.values())
+    # "value" stays apples-to-apples with rounds 1-2: the round-3-added
+    # crisscross tier re-scores the SAME triples as ttmf_score_e2e under a
+    # fixed fit-step budget, so its wall time is a new measurement, not
+    # new pipeline work — it rides in "queries"/extras and a comparable
+    # total, but not the headline value
+    total = sum(v for k, v in timings.items() if k != "ttmf_score_crisscross")
+    extras["total_incl_crisscross_sec"] = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {

@@ -47,8 +47,10 @@ _SLOTS = ["order", "customer", "nation_c", "region", "part", "supplier",
           "nation_s", "media_part"]
 
 
-def _rules_from_wide(wide: DataFrame) -> DataFrame:
-    """Wide (doc_id-partitioned) slot-entity frame -> distinct (s, p, o).
+def _rule_rows(wide: DataFrame) -> DataFrame:
+    """Wide (doc_id-partitioned) slot-entity frame -> per-emission
+    (doc_id, s, p, o) rows (NOT deduplicated — provenance callers
+    aggregate per doc; the triple API distincts).
 
     ``wide`` must already be hash-partitioned by doc_id so the min-window
     (the doc's order mention, the ``contains`` subject) needs no exchange.
@@ -74,11 +76,29 @@ def _rules_from_wide(wide: DataFrame) -> DataFrame:
         ),
     )
     return (
-        wide.select(F.explode(rule_arr).alias("tr"))
-        .select("tr.s", "tr.p", "tr.o")
+        wide.select("doc_id", F.explode(rule_arr).alias("tr"))
+        .select("doc_id", "tr.s", "tr.p", "tr.o")
         .filter(F.col("s").isNotNull() & F.col("o").isNotNull())
-        .distinct()
     )
+
+
+def _rules_from_wide(wide: DataFrame) -> DataFrame:
+    """Wide (doc_id-partitioned) slot-entity frame -> distinct (s, p, o)."""
+    return _rule_rows(wide).select("s", "p", "o").distinct()
+
+
+def assemble_triples_wide_with_doc(
+    linked_wide: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """One-row-per-span slot-entity frame -> per-doc distinct
+    (doc_id, s, p, o) — the provenance-preserving twin of
+    ``assemble_triples_wide`` (same single-linear-plan dataflow; the
+    dedup key just keeps doc_id, so grouping by triple downstream yields
+    exact supporting-document counts)."""
+    parts = num_partitions or int(
+        linked_wide.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return _rule_rows(linked_wide.repartition(parts, "doc_id")).distinct()
 
 
 def assemble_triples_wide(

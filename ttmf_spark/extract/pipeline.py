@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ttmf_spark.extract.assemble import assemble_triples_wide
+from ttmf_spark.extract.assemble import (
+    assemble_triples_wide,
+    assemble_triples_wide_with_doc,
+)
 from ttmf_spark.extract.canonicalize import apply_canonical, canonical_map
 from ttmf_spark.extract.linking import link_entities_wide
 from ttmf_spark.extract.mentions import WIDE_SLOTS, detect_mentions_wide, flatten_docs
@@ -46,3 +49,37 @@ def extract_triples(
     if repartition_output:
         triples = triples.repartition(repartition_output, F.col("s"))
     return triples
+
+
+def triple_support(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    same_as: DataFrame | None = None,
+) -> DataFrame:
+    """Per-triple provenance: (s, p, o, n_docs, first_doc) where n_docs
+    counts the distinct documents whose spans assert the canonical triple
+    and first_doc is the lexicographic-min supporting doc_id (a stable
+    exemplar pointer back into the corpus).
+
+    The evidence table a downstream trust model consumes alongside the
+    triple set: support is the cheapest independent confidence signal a
+    100 TB corpus offers (a fact asserted by 10^6 documents vs 1), and
+    first_doc gives audits a concrete witness. Same dataflow as
+    ``extract_triples`` with doc_id carried through assembly; the
+    per-(doc, triple) dedup and the final (s, p, o) aggregation hash on
+    the full triple key, so hub entities do not skew either shuffle.
+    """
+    with_doc = assemble_triples_wide_with_doc(
+        link_entities_wide(
+            detect_mentions_wide(flatten_docs(docs)), gazetteer, WIDE_SLOTS
+        )
+    )
+    if same_as is not None:
+        mapping = canonical_map(same_as)
+        # canonical ids can merge per-doc rows -> re-dedup per (doc, triple)
+        with_doc = apply_canonical(
+            with_doc, mapping, ["s", "o"]
+        ).distinct()
+    return with_doc.groupBy("s", "p", "o").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )

@@ -44,6 +44,33 @@ SELECT DISTINCT s, p, o FROM (
 """
 
 
+def kg_triple_support_sql() -> str:
+    """Per-triple provenance: distinct supporting docs + min supporting
+    doc_id per planted canonical triple (twin of pipeline.triple_support;
+    every doc is 'D' || the orderkey whose spans assert the triple)."""
+    return f"""
+WITH {_OC}, {_LI},
+dt AS (
+  SELECT DISTINCT s, p, o, doc FROM (
+    SELECT 'O' || o_orderkey AS s, 'placed_by' AS p, 'C' || c_custkey AS o,
+           'D' || o_orderkey AS doc FROM oc
+    UNION ALL SELECT 'C' || c_custkey, 'in_nation', 'N' || c_nationkey,
+           'D' || o_orderkey FROM oc
+    UNION ALL SELECT 'N' || c_nationkey, 'in_region', 'R' || n_regionkey,
+           'D' || o_orderkey FROM oc
+    UNION ALL SELECT 'O' || l_orderkey, 'contains', 'P' || l_partkey,
+           'D' || l_orderkey FROM li
+    UNION ALL SELECT 'P' || l_partkey, 'supplied_by', 'S' || s_suppkey,
+           'D' || l_orderkey FROM li
+    UNION ALL SELECT 'S' || s_suppkey, 'in_nation', 'N' || s_nationkey,
+           'D' || l_orderkey FROM li
+  ) t
+)
+SELECT s, p, o, COUNT(*) AS n_docs, MIN(doc) AS first_doc
+FROM dt GROUP BY s, p, o
+"""
+
+
 def raw_spans_sql() -> str:
     """Un-positioned spans with their (sort1, sort2) order keys."""
     return f"""

@@ -44,6 +44,19 @@ def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(docs, gaz, same)
 
 
+def q_kg_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-triple provenance (pipeline.triple_support): distinct
+    supporting-document count + min supporting doc_id per canonical
+    triple — the evidence table next to the triple set. Oracle derives
+    the same support from the planted corpus definition."""
+    from ttmf_spark.extract.pipeline import triple_support
+
+    docs = corpus.interleaved_docs(spark, sf_dir)
+    gaz = corpus.gazetteer(spark, sf_dir)
+    same = corpus.same_as_edges(spark, sf_dir)
+    return triple_support(docs, gaz, same)
+
+
 # --- KG layer ---------------------------------------------------------------
 
 
