@@ -661,6 +661,34 @@ def main() -> None:
                 "Arguments: SinglePartition"],
     )
 
+    # incremental CC: audited plan is the label patch — the merge map
+    # joins BROADCAST onto the base label table (the whole point: the
+    # big side is touched by one broadcast join, never re-contracted)
+    audit(
+        "kg_components_delta",
+        Q.q_kg_components_delta(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "MapInPandas", "BatchEvalPython",
+                "Arguments: SinglePartition"],
+    )
+
+    # triple provenance: same single-linear-plan assembly as
+    # extract_triples (one MapInPandas detect, broadcast link joins) +
+    # one full-triple-key agg — hub entities cannot skew either shuffle
+    sup = Q.q_kg_triple_support(spark, sf_dir)
+    audit(
+        "kg_triple_support",
+        sup,
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    n_detect_sup = plan_of(sup).count("MapInPandas (")
+    print(f"[triple_support_single_detect] map_in_pandas_nodes={n_detect_sup}")
+    out.append(("triple_support_single_detect", "", {"nodes": n_detect_sup},
+                [] if n_detect_sup == 1 else ["detect subtree computed twice"]))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:
