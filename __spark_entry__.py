@@ -92,13 +92,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions + refresh slots (window positions 47-50)
         "kg_path_triples": Q.q_kg_path_triples,
         "kg_ptranse_dev_loss": Q.q_kg_ptranse_dev_loss,
-        "emb_topk": Q.q_emb_topk,
+        "kg_triple_support": Q.q_kg_triple_support,
         "kg_components_delta": Q.q_kg_components_delta,
         # --- end driver window; below re-pinned by tests/test_queries_oracle.py ---
         # corpus + extraction front end
         "span_flatten": Q.q_span_flatten,
         "extract_triples": Q.q_extract_triples,
-        "kg_triple_support": Q.q_kg_triple_support,
+        "emb_topk": Q.q_emb_topk,
         "kg_extraction_pr": Q.q_kg_extraction_pr,
         # KG layer (SURVEY.md §2.3-2.7)
         "kg_cooccurrence": Q.q_kg_cooccurrence,

@@ -1035,6 +1035,38 @@ def test_fit_embeddings_table_default_init(spark, tiny_ids):
     assert r1.dtype == np.float32 and np.isfinite(r1).all()
 
 
+def test_pagerank_warm_start_same_fixpoint_fewer_rounds(spark, tiny_ids):
+    """Warm-starting the iterative Jacobi from a previous snapshot's
+    ranks (pagerank_iterative init_ranks) reaches the same unique
+    fixpoint — and from the EXACT previous fixpoint it converges in
+    strictly fewer convergence-checked rounds than a cold start: the
+    incremental re-rank path after a snapshot delta."""
+    _, _, ids = tiny_ids
+    adj = graph.build_adjacency(ids)
+    edges_w = graph.weighted_edges(adj)
+    cores = spark.createDataFrame([(0,), (2,)], ["core"])
+    reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+    sg = graph.subgraph_edges(edges_w, reach, depth=4).localCheckpoint(eager=True)
+    nodes = graph.subgraph_nodes(sg, cores)
+    patched = pagerank.patched_edges(sg, nodes)
+
+    cold_rounds: list = []
+    cold = pagerank.pagerank_iterative(
+        patched, nodes, rounds_out=cold_rounds
+    ).localCheckpoint(eager=True)
+    warm_rounds: list = []
+    warm = pagerank.pagerank_iterative(
+        patched, nodes, init_ranks=cold, rounds_out=warm_rounds
+    )
+    c = {(r["core"], r["node"]): r["pr"] for r in cold.collect()}
+    w = {(r["core"], r["node"]): r["pr"] for r in warm.collect()}
+    assert set(c) == set(w)
+    for k in c:
+        assert w[k] == pytest.approx(c[k], abs=1e-4)
+    # already at the fixpoint -> first convergence check must finish it
+    assert warm_rounds[-1] < cold_rounds[-1]
+
+
 def test_pagerank_convergence_stop_matches_fixed_sweeps(spark, tiny_ids):
     """The production convergence-stop PageRank (the one rows-only
     driver query, q_kg_pagerank) equals the hash-gated fixed-20-sweep

@@ -206,8 +206,12 @@ def components_incremental(
         )
     )
     # CC on the component-level graph: nodes are old labels + new node ids,
-    # output label = min over merged old labels / new ids = global min member
-    merge = connected_components(contracted, **cc_kwargs)
+    # output label = min over merged old labels / new ids = global min member.
+    # The merge map is consumed twice (relabel + new-node anti-join) and is
+    # delta-bounded — pin it so the delta CC never recomputes.
+    merge = connected_components(contracted, **cc_kwargs).localCheckpoint(
+        eager=True
+    )
     relabel = merge.select(
         F.col("node").alias("_old"), F.col("component").alias("_new")
     )

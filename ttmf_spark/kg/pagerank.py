@@ -199,21 +199,41 @@ def pagerank_iterative(
     max_iter: int = MAX_ITER,
     min_delta: float = MIN_DELTA,
     checkpoint_every: int = 2,
+    init_ranks: DataFrame | None = None,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Global DataFrame Jacobi: all cores per round, converged cores retire.
 
     ``checkpoint_every`` must stay small: each iteration references the
     previous state twice (contrib + delta join), so the lazy plan DOUBLES
     per round — localCheckpoint is what keeps analysis cost linear.
+
+    ``init_ranks`` (core, node, pr) warm-starts the sweep — the
+    incremental-maintenance path after a snapshot delta: the Jacobi
+    fixpoint is unique (damping < 1 contraction), so starting from the
+    previous snapshot's ranks reaches the SAME fixpoint in fewer rounds
+    (pinned by test); nodes absent from ``init_ranks`` (new since the
+    snapshot) fall back to the cold-start value. ``rounds_out``, if
+    given, receives the number of convergence-checked rounds actually
+    run (the warm-vs-cold evidence hook).
     """
     # snapshot the (possibly deep) edge lineage ONCE: it is re-joined every
     # iteration and would otherwise be re-analyzed ~2 x max_iter times
     patched = patched.localCheckpoint(eager=True)
     sizes = sg_nodes.groupBy("core").agg(F.count("*").alias("n"))
-    pr = sg_nodes.join(sizes, "core").select(
+    cold = F.when(F.col("node") == F.col("core"), 1.0).otherwise(0.0)
+    pr0 = sg_nodes.join(sizes, "core")
+    if init_ranks is not None:
+        prev = init_ranks.select("core", "node", F.col("pr").alias("_pr_prev"))
+        pr0 = pr0.join(prev, ["core", "node"], "left").withColumn(
+            "_pr0", F.coalesce("_pr_prev", cold)
+        )
+    else:
+        pr0 = pr0.withColumn("_pr0", cold)
+    pr = pr0.select(
         "core",
         "node",
-        F.when(F.col("node") == F.col("core"), 1.0).otherwise(0.0).alias("pr"),
+        F.col("_pr0").alias("pr"),
         ((1.0 - DAMPING) / F.col("n")).alias("dv"),
     ).localCheckpoint(eager=True)
     active = pr
@@ -251,6 +271,8 @@ def pagerank_iterative(
             active = new.join(finished, "core", "left_anti").select(
                 "core", "node", "pr", "dv"
             ).localCheckpoint(eager=True)
+            if rounds_out is not None:
+                rounds_out.append(i + 1)
             if active.isEmpty():
                 break
         else:

@@ -139,6 +139,14 @@ def enumerate_paths_batched(
     Result is the union of all slice tables: identical row set to
     ``enumerate_paths(edges, seeds)`` (pinned by
     tests/test_kg.py::test_enumerate_paths_batched_slices_and_resume).
+
+    Durability note: the resume branch's paths-append + heads-append pair
+    is not atomic on parquet — a crash BETWEEN the two appends makes the
+    next resume re-enumerate that batch's heads and duplicate their path
+    rows (detectable: distinct heads in the path table vs the head
+    table). Production runs both appends in one Iceberg transaction
+    (the same swap as every sink here); the parquet fallback orders
+    paths-first so the failure mode is duplicates, never silent loss.
     """
     from functools import reduce
 

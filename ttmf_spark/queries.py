@@ -983,7 +983,11 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), tau=0.4)
+    # dim passed explicitly (testdata embeddings are 64-wide) so the
+    # plan compiles without the one-row dim-sniff job
+    return similarity.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), tau=0.4, dim=64
+    )
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
