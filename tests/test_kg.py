@@ -1067,6 +1067,61 @@ def test_pagerank_warm_start_same_fixpoint_fewer_rounds(spark, tiny_ids):
     assert warm_rounds[-1] < cold_rounds[-1]
 
 
+def test_rerank_after_delta_matches_full_recompute(spark):
+    """rerank_after_delta re-ranks ONLY the cores a delta edge batch can
+    touch (affected_cores scoping) warm-started from the previous ranks,
+    keeps every other core's rows verbatim — and the maintained table
+    equals a full cold recompute on the post-delta graph. Two disconnected
+    clusters prove the scoping: the delta lands in core 10's cluster, so
+    core 0 must not be re-ranked; a core new since the snapshot (13) has
+    no prev rows and must be ranked cold."""
+    base = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 2), (2, 0, 3), (3, 0, 0),
+         (10, 0, 11), (11, 0, 12), (12, 0, 10)],
+        ["h", "r", "t"],
+    )
+    delta = spark.createDataFrame([(11, 1, 13), (13, 0, 10)], ["h", "r", "t"])
+    post = base.unionByName(delta)
+    cores_prev = spark.createDataFrame([(0,), (10,)], ["core"])
+    cores_post = spark.createDataFrame([(0,), (10,), (13,)], ["core"])
+
+    def full(tr, cores):
+        adj = graph.build_adjacency(tr)
+        ew = graph.weighted_edges(adj)
+        reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+        sg = graph.subgraph_edges(ew, reach, depth=4).localCheckpoint(
+            eager=True
+        )
+        nodes = graph.subgraph_nodes(sg, cores)
+        patched = pagerank.patched_edges(sg, nodes)
+        return ew, reach, pagerank.pagerank_iterative(patched, nodes)
+
+    _, _, prev = full(base, cores_prev)
+    prev = prev.localCheckpoint(eager=True)
+    ew_post, reach_post, cold = full(post, cores_post)
+
+    delta_edges = delta.select(F.col("h").alias("src"), F.col("t").alias("dst"))
+    aff = pagerank.affected_cores(reach_post, delta_edges, depth=4)
+    # the delta srcs {11, 13} are unreachable from core 0's cluster, so
+    # core 0 is NOT affected; 10 and (new core) 13 are
+    assert sorted(r["core"] for r in aff.collect()) == [10, 13]
+
+    maint = pagerank.rerank_after_delta(
+        ew_post, reach_post, cores_post, prev, delta_edges, depth=4
+    )
+    c = {(r["core"], r["node"]): r["pr"] for r in cold.collect()}
+    m = {(r["core"], r["node"]): r["pr"] for r in maint.collect()}
+    assert set(c) == set(m)
+    for k in c:
+        assert m[k] == pytest.approx(c[k], abs=1e-4)
+    # core 0's rows are the PREVIOUS snapshot's rows, bit-identical (kept,
+    # not recomputed)
+    p = {(r["core"], r["node"]): r["pr"] for r in prev.collect()}
+    for k, v in p.items():
+        if k[0] == 0:
+            assert m[k] == v
+
+
 def test_pagerank_convergence_stop_matches_fixed_sweeps(spark, tiny_ids):
     """The production convergence-stop PageRank (the one rows-only
     driver query, q_kg_pagerank) equals the hash-gated fixed-20-sweep

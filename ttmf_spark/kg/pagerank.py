@@ -281,3 +281,76 @@ def pagerank_iterative(
     for d in done_parts:
         out = out.unionByName(d)
     return out
+
+
+def affected_cores(
+    reach: DataFrame, delta_edges: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Cores whose personalized ranks a delta edge batch can change.
+
+    A core's subgraph is the out-edges of nodes within ``depth - 1`` hops
+    (graph.subgraph_edges), so an added / removed / re-weighted edge
+    (src, dst) touches core c iff ``src`` lies within ``depth - 1`` of c —
+    re-weighting is keyed on src too because weights are src-out-degree
+    normalized (graph.weighted_edges). ``reach`` must cover every hop the
+    delta can matter through: pass the reach table of the POST-delta graph
+    for additions, union the pre-delta reach when edges were dropped.
+
+    ONE semi-join, output is core-dim: the scoping step that turns a
+    snapshot delta into a bounded re-rank instead of a full re-rank of
+    billions of cores.
+    """
+    touched = delta_edges.select(F.col("src").alias("node")).distinct()
+    return (
+        reach.filter(F.col("depth") <= depth - 1)
+        .join(touched, "node", "left_semi")
+        .select("core")
+        .distinct()
+    )
+
+
+def rerank_after_delta(
+    edges_w: DataFrame,
+    reach: DataFrame,
+    cores: DataFrame,
+    prev_ranks: DataFrame,
+    delta_edges: DataFrame,
+    depth: int = 4,
+    max_iter: int = MAX_ITER,
+    min_delta: float = MIN_DELTA,
+) -> DataFrame:
+    """Maintain (core, node, pr) after a delta edge batch: re-rank ONLY
+    affected cores, warm-started from the previous snapshot's ranks.
+
+    ``edges_w`` / ``reach`` describe the post-delta graph; ``cores`` is
+    the full core set (cores new since the snapshot re-rank too — they
+    have no prev rows); ``prev_ranks`` is the previous snapshot's full
+    (core, node, pr) table. Unaffected cores keep their rows verbatim —
+    their subgraphs are identical by construction, so the result equals a
+    full cold recompute on the post-delta graph (pinned by
+    tests/test_kg.py::test_rerank_after_delta_matches_full_recompute).
+
+    Work is bounded by the affected-core subgraphs, not the graph: the
+    steady-state maintenance cost of the 10^12-doc rank table as
+    extraction batches land (completes ST1 ingestion + N18 label folding
+    + N20 warm start into one scoped path).
+    """
+    from . import graph
+
+    aff = affected_cores(reach, delta_edges, depth=depth).unionByName(
+        cores.join(prev_ranks.select("core").distinct(), "core", "left_anti")
+    ).distinct().localCheckpoint(eager=True)
+
+    reach_aff = reach.join(aff, "core", "left_semi")
+    sg = graph.subgraph_edges(edges_w, reach_aff, depth=depth)
+    nodes = graph.subgraph_nodes(sg, cores.join(aff, "core", "left_semi"))
+    patched = patched_edges(sg, nodes)
+    warm = pagerank_iterative(
+        patched,
+        nodes,
+        max_iter=max_iter,
+        min_delta=min_delta,
+        init_ranks=prev_ranks.join(aff, "core", "left_semi"),
+    )
+    kept = prev_ranks.join(aff, "core", "left_anti")
+    return kept.unionByName(warm)
