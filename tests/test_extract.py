@@ -196,3 +196,32 @@ def test_er_clusters_transitive_and_singletons(spark):
     dist = {r["surface"]: (r["canonical"], r["cluster_size"])
             for r in er_clusters(names, tau=0.4, driver_max_edges=0).collect()}
     assert dist == {k: (v["canonical"], v["cluster_size"]) for k, v in out.items()}
+
+
+def test_triple_support_incremental_matches_full_recompute(spark):
+    """Folding a new doc batch into an existing support table
+    (triple_support_incremental) equals triple_support recomputed over
+    the union corpus: counts add across disjoint doc batches, the
+    witness pointer is the min across snapshots."""
+    from ttmf_spark.extract.pipeline import (
+        triple_support,
+        triple_support_incremental,
+    )
+
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    # deterministic disjoint split on doc_id
+    base = docs.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    delta = docs.filter(F.crc32(F.col("doc_id")) % 2 == 1)
+    assert base.count() > 0 and delta.count() > 0
+
+    existing = triple_support(base, gaz, same_as=same).localCheckpoint(
+        eager=True
+    )
+    folded = triple_support_incremental(existing, delta, gaz, same_as=same)
+    full = triple_support(docs, gaz, same_as=same)
+
+    f = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in folded.collect()}
+    w = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in full.collect()}
+    assert f == w

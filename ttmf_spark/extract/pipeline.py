@@ -83,3 +83,55 @@ def triple_support(
     return with_doc.groupBy("s", "p", "o").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
     )
+
+
+def triple_support_incremental(
+    existing: DataFrame,
+    delta_docs: DataFrame,
+    gazetteer: DataFrame,
+    same_as: DataFrame | None = None,
+) -> DataFrame:
+    """Fold a NEW doc batch into an existing (s, p, o, n_docs, first_doc)
+    support table without rescanning the corpus.
+
+    Runs the ``triple_support`` dataflow over the delta batch only, then
+    merges by one full-outer join on the triple key: counts add, the
+    witness pointer is the min across snapshots. Cost is bounded by the
+    delta, not the 10^12-doc corpus — the provenance-table twin of the
+    N18 label fold and N21 rank maintenance.
+
+    Correctness preconditions (both enforced upstream, both documented
+    here because violating them silently over/under-counts):
+
+    - ``delta_docs`` doc_ids are disjoint from every batch already folded
+      in (distinct-doc counts add only then; the streaming ingestion
+      anti-join — streaming.py — is what guarantees it);
+    - ``same_as`` is the SAME canonical mapping ``existing`` was built
+      under. When an alias delta merges clusters (components_incremental
+      relabels), triples touching relabeled entities must be re-supported
+      from their supporting docs instead — the merge map names exactly
+      which rows those are.
+
+    Pinned by tests/test_extract.py: fold(base, delta) equals
+    ``triple_support`` recomputed on the union corpus.
+    """
+    delta = triple_support(delta_docs, gazetteer, same_as=same_as)
+    e = existing.select(
+        "s", "p", "o",
+        F.col("n_docs").alias("_n_e"), F.col("first_doc").alias("_f_e"),
+    )
+    d = delta.select(
+        "s", "p", "o",
+        F.col("n_docs").alias("_n_d"), F.col("first_doc").alias("_f_d"),
+    )
+    return e.join(d, ["s", "p", "o"], "full_outer").select(
+        "s",
+        "p",
+        "o",
+        (
+            F.coalesce("_n_e", F.lit(0)) + F.coalesce("_n_d", F.lit(0))
+        ).alias("n_docs"),
+        # least() skips NULLs: a triple seen on one side only keeps its
+        # own witness
+        F.least("_f_e", "_f_d").alias("first_doc"),
+    )
