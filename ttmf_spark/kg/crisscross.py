@@ -141,6 +141,57 @@ def _branch_inputs(batch: dict, emb: tuple[np.ndarray, np.ndarray], k: int):
     return x, mask
 
 
+def _forward_infer(
+    batch: dict, params: dict, emb: tuple[np.ndarray, np.ndarray]
+) -> np.ndarray:
+    """Eval-mode forward without the (B, L, d_in) tensor materialization.
+
+    The first three blocks of every timestep input ([e_h, v_r, e_t]) are
+    constant across steps, so their Wx product is hoisted out of the
+    recurrence (one (B, d_fix) matmul instead of L (B, L, d_in) repeats)
+    and the per-step gather builds only the (B, d_step) path block. No
+    backward cache. Same values as the train-path forward in eval mode
+    up to matmul-block rounding (~1e-14; loop-oracle test tolerance
+    1e-10) — inference was allocation-bound, not FLOP-bound: the fused
+    (B,L,600) repeat+concat cost ~13x the matmuls themselves.
+    """
+    E, R = emb
+    B = len(batch["h"])
+    n_paths = int(params["n_paths"])
+    fixed = np.concatenate(
+        [E[batch["h"]], R[batch["r"]], E[batch["t"]]], axis=1
+    )
+    d_fix = fixed.shape[1]
+    path_values = []
+    for k in range(1, n_paths + 1):
+        ph, pt, pr = batch[f"p{k}_h"], batch[f"p{k}_t"], batch[f"p{k}_r"]
+        L = ph.shape[1]
+        Wx, Wh, b = params[f"rnn{k}_Wx"], params[f"rnn{k}_Wh"], params[f"rnn{k}_b"]
+        a_fix = fixed @ Wx[:d_fix] + b
+        s = np.zeros((B, Wh.shape[0]))
+        mask = (ph != 0) & (pt != 0) & (pr != 0)
+        for step in range(L):
+            step_x = np.concatenate(
+                [E[ph[:, step]], R[pr[:, step]], E[pt[:, step]]], axis=1
+            )
+            s_raw = np.tanh(a_fix + step_x @ Wx[d_fix:] + s @ Wh)
+            s = np.where(mask[:, step : step + 1], s_raw, s)
+        inv = 1.0 / np.sqrt(params[f"bn{k}_var"] + BN_EPS)
+        bn = (
+            params[f"bn{k}_gamma"] * ((s - params[f"bn{k}_mean"]) * inv)
+            + params[f"bn{k}_beta"]
+        )
+        path_values.append(_sigmoid(bn @ params[f"pv{k}_W"] + params[f"pv{k}_b"]))
+    h_rr = np.tanh(batch["rrank"] @ params["rr_W1"] + params["rr_b1"])
+    rr_v = _sigmoid(h_rr @ params["rr_W2"] + params["rr_b2"])
+    bp_in = np.column_stack([*path_values, batch["transe"], rr_v])
+    z1 = bp_in @ params["bp_W1"] + params["bp_b1"]
+    logits = z1 @ params["bp_W2"] + params["bp_b2"]
+    shift = logits - logits.max(axis=1, keepdims=True)
+    ez = np.exp(shift)
+    return ez / ez.sum(axis=1, keepdims=True)
+
+
 def forward(
     batch: dict,
     params: dict,
@@ -153,8 +204,12 @@ def forward(
 
     ``train`` switches BN to batch statistics; dropout fires only when a
     ``drop_rng`` is supplied (so gradient checks can run train-mode BN
-    deterministically with dropout off).
+    deterministically with dropout off). Eval mode (train=False, no
+    drop_rng) routes through ``_forward_infer`` — no backward cache, no
+    (B, L, d_in) materialization.
     """
+    if not train and drop_rng is None:
+        return _forward_infer(batch, params, emb), {"train": False}
     n_paths = int(params["n_paths"])
     B = len(batch["h"])
     cache: dict = {"branches": [], "train": train}
