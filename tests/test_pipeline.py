@@ -247,3 +247,90 @@ def test_bucket_layout_contract(spark, tmp_path):
             .collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_incremental_maintenance_chain_matches_full_recompute(spark):
+    """The whole incremental story composes: a new doc batch folds into
+    every long-lived table WITHOUT rescanning the base corpus, and each
+    maintained table equals its full-recompute twin on the union corpus.
+
+    Chain (each step consumes the previous step's delta output):
+    1. extraction is doc-local, so maintained triples = base ∪
+       extract(delta batch) — no base rescan;
+    2. provenance: triple_support_incremental fold == full recompute;
+    3. ranks: the delta batch's triples name the re-rank scope
+       (affected_cores is src-keyed), rerank_after_delta == full cold
+       recompute on the post-delta graph, untouched cores verbatim.
+    """
+    from tests.conftest import SF_UNIT
+    from ttmf_spark import corpus
+    from ttmf_spark.extract import extract_triples
+    from ttmf_spark.extract.pipeline import (
+        triple_support,
+        triple_support_incremental,
+    )
+    from ttmf_spark.kg import graph, pagerank
+
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    base_docs = docs.filter(F.crc32(F.col("doc_id")) % 3 != 0)
+    delta_docs = docs.filter(F.crc32(F.col("doc_id")) % 3 == 0)
+    assert base_docs.count() > 0 and delta_docs.count() > 0
+
+    # 1. triples: union of per-batch extraction == full extraction
+    base_triples = extract_triples(base_docs, gaz, same).localCheckpoint(
+        eager=True
+    )
+    delta_triples = extract_triples(delta_docs, gaz, same).localCheckpoint(
+        eager=True
+    )
+    maintained = base_triples.unionByName(delta_triples).distinct()
+    full = extract_triples(docs, gaz, same)
+    assert maintained.exceptAll(full).isEmpty()
+    assert full.exceptAll(maintained).isEmpty()
+
+    # 2. provenance fold == full recompute (same canonical mapping)
+    support_base = triple_support(base_docs, gaz, same_as=same).localCheckpoint(
+        eager=True
+    )
+    folded = triple_support_incremental(support_base, delta_docs, gaz, same_as=same)
+    want = triple_support(docs, gaz, same_as=same)
+    f = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in folded.collect()}
+    w = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in want.collect()}
+    assert f == w
+
+    # 3. ranks: delta triples scope the re-rank; maintained == full cold.
+    # Node keys are entity NAMES — pagerank_iterative is pure DataFrame
+    # joins, so keys need not be dense ids.
+    def build(tr, cores):
+        adj = graph.build_adjacency(
+            tr.select(F.col("s").alias("h"), F.col("p").alias("r"), F.col("o").alias("t"))
+        )
+        ew = graph.weighted_edges(adj)
+        reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+        sg = graph.subgraph_edges(ew, reach, depth=4).localCheckpoint(eager=True)
+        nodes = graph.subgraph_nodes(sg, cores)
+        return ew, reach, pagerank.pagerank_iterative(
+            pagerank.patched_edges(sg, nodes), nodes
+        )
+
+    # two cores present in the base snapshot
+    core_rows = [
+        r.s for r in base_triples.select("s").distinct().orderBy("s").limit(2).collect()
+    ]
+    cores = spark.createDataFrame([(c,) for c in core_rows], ["core"])
+    _, _, prev = build(base_triples, cores)
+    prev = prev.localCheckpoint(eager=True)
+    ew_post, reach_post, cold = build(maintained, cores)
+    delta_edges = delta_triples.select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    maint = pagerank.rerank_after_delta(
+        ew_post, reach_post, cores, prev, delta_edges, depth=4
+    )
+    c = {(r["core"], r["node"]): r["pr"] for r in cold.collect()}
+    m = {(r["core"], r["node"]): r["pr"] for r in maint.collect()}
+    assert set(c) == set(m)
+    for k in c:
+        assert m[k] == pytest.approx(c[k], abs=1e-4)
