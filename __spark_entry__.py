@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_support": Q.q_kg_triple_support,
         "kg_components_delta": Q.q_kg_components_delta,
         # --- end driver window; below re-pinned by tests/test_queries_oracle.py ---
+        # round-4 rotation candidate: incremental support fold vs
+        # full-recompute oracle
+        "kg_support_delta": Q.q_kg_support_delta,
         # corpus + extraction front end
         "span_flatten": Q.q_span_flatten,
         "extract_triples": Q.q_extract_triples,
@@ -165,6 +168,9 @@ def oracle_sql() -> dict[str, str]:
         "span_flatten": oracles.span_flatten_sql(),
         "extract_triples": oracles.truth_triples_sql(),
         "kg_triple_support": oracles.kg_triple_support_sql(),
+        # fold == full recompute: the incremental query shares the
+        # full-recompute oracle (kg_components_delta pattern)
+        "kg_support_delta": oracles.kg_triple_support_sql(),
         "kg_extraction_pr": oracles.kg_extraction_pr_sql(),
         "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
         "kg_entity2id": oracles_kg.kg_entity2id_sql(),

@@ -57,6 +57,28 @@ def q_kg_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_support(docs, gaz, same)
 
 
+def q_kg_support_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental provenance maintenance, driver-gated: split the corpus
+    into a deterministic base/delta pair (crc32(doc_id) parity), build the
+    support table on the base, fold the delta batch in with
+    pipeline.triple_support_incremental — and the oracle is the FULL
+    recompute on the whole corpus (kg_triple_support_sql), so a green row
+    proves fold == recompute cross-engine (same oracle pattern as
+    kg_components_delta)."""
+    from ttmf_spark.extract.pipeline import (
+        triple_support,
+        triple_support_incremental,
+    )
+
+    docs = corpus.interleaved_docs(spark, sf_dir)
+    gaz = corpus.gazetteer(spark, sf_dir)
+    same = corpus.same_as_edges(spark, sf_dir)
+    base = docs.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    delta = docs.filter(F.crc32(F.col("doc_id")) % 2 == 1)
+    existing = triple_support(base, gaz, same_as=same)
+    return triple_support_incremental(existing, delta, gaz, same_as=same)
+
+
 # --- KG layer ---------------------------------------------------------------
 
 
