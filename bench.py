@@ -88,8 +88,12 @@ SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "7"))
 SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
 # extra interleaved rounds visiting ONLY the headline N->4N pair: the min
 # estimator needs samples from enough host-noise windows, and the pair's
-# levels are where extra samples pay (higher levels are context only)
-SCALING_PAIR_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_PAIR_ROUNDS", "1"))
+# levels are where extra samples pay (higher levels are context only).
+# Default 3 (round 3): with 1 extra round the min estimator still carried
+# ~0.1 of noise spread between otherwise-identical ladders (0.69-0.83 on
+# the same code+input same day); 4 total pair rounds converge it to the
+# quiet-box floor for ~9 extra minutes.
+SCALING_PAIR_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_PAIR_ROUNDS", "3"))
 # small-data parallelism: keep AQE's post-shuffle coalescing from collapsing
 # bench-scale shuffles (~50 MB) into 1 partition — at 100 TB the default
 # 64 MB advisory is right, at sf<=0.1 it serializes every stage.

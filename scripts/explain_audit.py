@@ -689,6 +689,18 @@ def main() -> None:
     out.append(("triple_support_single_detect", "", {"nodes": n_detect_sup},
                 [] if n_detect_sup == 1 else ["detect subtree computed twice"]))
 
+    # incremental support fold: the delta batch runs the same
+    # single-linear-plan extraction; the fold itself is ONE full-outer
+    # join on the full triple key (hub-skew-free) — the base table is
+    # never re-derived from docs
+    audit(
+        "kg_support_delta",
+        Q.q_kg_support_delta(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin", "FullOuter"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:
