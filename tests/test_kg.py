@@ -1067,6 +1067,31 @@ def test_pagerank_warm_start_same_fixpoint_fewer_rounds(spark, tiny_ids):
     assert warm_rounds[-1] < cold_rounds[-1]
 
 
+def test_pagerank_grouped_warm_start_same_fixpoint(spark, tiny_ids):
+    """The grouped-Arrow production kernel warm-starts per core from a
+    previous snapshot's ranks (one (core, src)-keyed left join): same
+    unique fixpoint as cold start; NULL/new nodes fall back to the cold
+    init. Also pins the routed wrapper's init_ranks passthrough."""
+    _, _, ids = tiny_ids
+    adj = graph.build_adjacency(ids)
+    edges_w = graph.weighted_edges(adj)
+    cores = spark.createDataFrame([(0,), (2,)], ["core"])
+    reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+    sg = graph.subgraph_edges(edges_w, reach, depth=4).localCheckpoint(eager=True)
+    nodes = graph.subgraph_nodes(sg, cores)
+    patched = pagerank.patched_edges(sg, nodes).localCheckpoint(eager=True)
+
+    cold = pagerank.pagerank_grouped(patched).localCheckpoint(eager=True)
+    warm = pagerank.pagerank_grouped(patched, init_ranks=cold)
+    routed_warm = pagerank.pagerank_routed(patched, nodes, init_ranks=cold)
+    c = {(r["core"], r["node"]): r["pr"] for r in cold.collect()}
+    for got in (warm, routed_warm):
+        g = {(r["core"], r["node"]): r["pr"] for r in got.collect()}
+        assert set(c) == set(g)
+        for k in c:
+            assert g[k] == pytest.approx(c[k], abs=1e-4)
+
+
 def test_rerank_after_delta_matches_full_recompute(spark):
     """rerank_after_delta re-ranks ONLY the cores a delta edge batch can
     touch (affected_cores scoping) warm-started from the previous ranks,

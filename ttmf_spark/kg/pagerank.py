@@ -83,9 +83,13 @@ def _jacobi(
     damping: float = DAMPING,
     max_iter: int = MAX_ITER,
     min_delta: float = MIN_DELTA,
+    pr_init: np.ndarray | None = None,
 ) -> np.ndarray:
-    pr = np.zeros(n)
-    pr[core_ix] = 1.0
+    if pr_init is not None:
+        pr = pr_init.astype(np.float64, copy=True)
+    else:
+        pr = np.zeros(n)
+        pr[core_ix] = 1.0
     dv = (1.0 - damping) / n
     for _ in range(max_iter):
         # bincount is the buffered scatter-add (np.add.at is unbuffered and
@@ -103,6 +107,7 @@ def pagerank_grouped(
     max_iter: int = MAX_ITER,
     min_delta: float = MIN_DELTA,
     n_buckets: int = 256,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """(core, src, dst, w) [patched] -> (core, node, pr) via grouped Arrow UDF.
 
@@ -114,7 +119,21 @@ def pagerank_grouped(
     parallelism (buckets >> cores(cluster)). Per-bucket memory is
     total_edges/n_buckets — hub-size outliers are already routed away by
     ``pagerank_routed`` before this runs.
+
+    ``init_ranks`` (core, node, pr) warm-starts each core's Jacobi sweep
+    from the previous snapshot's ranks (same unique fixpoint, fewer
+    sweeps — the grouped twin of the iterative path's warm start). It
+    rides in as one extra (core, src)-keyed left join: after patching,
+    EVERY subgraph node appears as a src (dangling nodes got self-loops),
+    so a per-(core, src) column covers the full node set; new-since-
+    snapshot nodes are NULL -> cold value.
     """
+    with_init = init_ranks is not None
+    if with_init:
+        prev = init_ranks.select(
+            "core", F.col("node").alias("src"), F.col("pr").alias("_pr0")
+        )
+        patched = patched.join(prev, ["core", "src"], "left")
 
     def _solve_core(core: int, pdf: pd.DataFrame) -> pd.DataFrame:
         sv = pdf["src"].to_numpy(dtype=np.int64)
@@ -123,14 +142,26 @@ def pagerank_grouped(
         # nodes is sorted -> searchsorted is the vectorized id->index map
         src = np.searchsorted(nodes, sv)
         dst = np.searchsorted(nodes, dv_)
+        core_ix = int(np.searchsorted(nodes, core))
+        pr_init = None
+        if with_init:
+            # one value per unique src row; every node IS a src post-patch
+            first = np.unique(src, return_index=True)[1]
+            vals = pdf["_pr0"].to_numpy(dtype=np.float64)
+            pr_init = np.zeros(len(nodes))
+            pr_init[core_ix] = 1.0  # cold fallback for NULL/new nodes
+            got = vals[first]
+            have = ~np.isnan(got)
+            pr_init[src[first][have]] = got[have]
         pr = _jacobi(
             len(nodes),
-            int(np.searchsorted(nodes, core)),
+            core_ix,
             src,
             dst,
             pdf["w"].to_numpy(dtype=np.float64),
             max_iter=max_iter,
             min_delta=min_delta,
+            pr_init=pr_init,
         )
         return pd.DataFrame({"core": core, "node": nodes.astype(np.int64), "pr": pr})
 
@@ -155,6 +186,7 @@ def pagerank_routed(
     hub_edge_bound: int = 2_000_000,
     max_iter: int = MAX_ITER,
     min_delta: float = MIN_DELTA,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Hub-safe PageRank: per-core edge counts route each subgraph.
 
@@ -177,18 +209,25 @@ def pagerank_routed(
     )
     n_big = big_cores.count()
     if n_big == 0:
-        return pagerank_grouped(patched, max_iter=max_iter, min_delta=min_delta)
+        return pagerank_grouped(
+            patched, max_iter=max_iter, min_delta=min_delta,
+            init_ranks=init_ranks,
+        )
     big_cores = F.broadcast(big_cores)
     small = pagerank_grouped(
         patched.join(big_cores, "core", "left_anti"),
         max_iter=max_iter,
         min_delta=min_delta,
+        init_ranks=init_ranks.join(big_cores, "core", "left_anti")
+        if init_ranks is not None else None,
     )
     big = pagerank_iterative(
         patched.join(big_cores, "core", "left_semi"),
         sg_nodes.join(big_cores, "core", "left_semi"),
         max_iter=max_iter,
         min_delta=min_delta,
+        init_ranks=init_ranks.join(big_cores, "core", "left_semi")
+        if init_ranks is not None else None,
     )
     return small.unionByName(big)
 
@@ -318,6 +357,7 @@ def rerank_after_delta(
     depth: int = 4,
     max_iter: int = MAX_ITER,
     min_delta: float = MIN_DELTA,
+    use_routed: bool = False,
 ) -> DataFrame:
     """Maintain (core, node, pr) after a delta edge batch: re-rank ONLY
     affected cores, warm-started from the previous snapshot's ranks.
@@ -345,12 +385,25 @@ def rerank_after_delta(
     sg = graph.subgraph_edges(edges_w, reach_aff, depth=depth)
     nodes = graph.subgraph_nodes(sg, cores.join(aff, "core", "left_semi"))
     patched = patched_edges(sg, nodes)
-    warm = pagerank_iterative(
-        patched,
-        nodes,
-        max_iter=max_iter,
-        min_delta=min_delta,
-        init_ranks=prev_ranks.join(aff, "core", "left_semi"),
-    )
+    init = prev_ranks.join(aff, "core", "left_semi")
+    if use_routed:
+        # production kernel: hub-routed grouped Arrow, warm-started per
+        # core (requires long node ids — PR_SCHEMA)
+        warm = pagerank_routed(
+            patched,
+            nodes,
+            max_iter=max_iter,
+            min_delta=min_delta,
+            init_ranks=init,
+        )
+    else:
+        # type-agnostic DataFrame path (works on name-keyed graphs too)
+        warm = pagerank_iterative(
+            patched,
+            nodes,
+            max_iter=max_iter,
+            min_delta=min_delta,
+            init_ranks=init,
+        )
     kept = prev_ranks.join(aff, "core", "left_anti")
     return kept.unionByName(warm)
