@@ -63,7 +63,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_pairs": Q.q_doc_containment_pairs,
         "doc_near_dup_clusters": Q.q_doc_near_dup_clusters,
         "doc_segment_dedup": Q.q_doc_segment_dedup,
-        "doc_simhash_near_dup": Q.q_doc_simhash_near_dup,
         "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,  # re-gate: max_df=100
         "emb_near_dup": Q.q_emb_near_dup,  # re-gate: LSH-banded rewrite
         # similarity search / embeddings
@@ -94,10 +93,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ptranse_dev_loss": Q.q_kg_ptranse_dev_loss,
         "kg_triple_support": Q.q_kg_triple_support,
         "kg_components_delta": Q.q_kg_components_delta,
-        # --- end driver window; below re-pinned by tests/test_queries_oracle.py ---
-        # round-4 rotation candidate: incremental support fold vs
-        # full-recompute oracle
         "kg_support_delta": Q.q_kg_support_delta,
+        # --- end driver window; below re-pinned by tests/test_queries_oracle.py ---
+        # round-4 rotation candidate (base op doc_simhash hash-gated r1;
+        # this pair form is pinned by tests/test_queries_oracle.py)
+        "doc_simhash_near_dup": Q.q_doc_simhash_near_dup,
         # corpus + extraction front end
         "span_flatten": Q.q_span_flatten,
         "extract_triples": Q.q_extract_triples,

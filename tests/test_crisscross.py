@@ -154,3 +154,79 @@ def test_fit_max_steps_budget_and_determinism():
         not np.array_equal(np.asarray(a[k]), np.asarray(full[k]))
         for k in cc._trained_keys(a)
     )
+
+
+def _feats_df(spark, seed=11, n=240, n_ent=30, n_rel=7, L=cc.MAX_EDGES):
+    """Synthetic CC_INPUT_COLS + flag frame with a learnable signal
+    (positive rows get shifted transe/rr features)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    flag = rng.integers(0, 2, n)
+    pdf = pd.DataFrame(
+        {
+            "h": rng.integers(0, n_ent, n),
+            "t": rng.integers(0, n_ent, n),
+            "r": rng.integers(0, n_rel, n),
+            "trans_conf": rng.normal(0, 0.3, n) + 0.8 * flag,
+            "rr_features": list(
+                (rng.normal(0, 0.3, (n, 6)) + 0.5 * flag[:, None])
+            ),
+            "flag": flag * 2 - 1,  # {-1, 1} like tc pairs
+        }
+    )
+    for k in (1, 2, 3):
+        for nm in ("h", "t", "r"):
+            n_vocab = n_rel if nm == "r" else n_ent
+            toks = rng.integers(0, n_vocab, (n, L))
+            cut = rng.integers(0, L + 1, n)
+            for i, ci in enumerate(cut):
+                toks[i, ci:] = 0
+            pdf[f"path{k}_{nm}"] = list(toks)
+    emb_E = rng.normal(0, 0.4, (n_ent, 8)).astype(np.float64)
+    emb_R = rng.normal(0, 0.4, (n_rel, 8)).astype(np.float64)
+    return spark.createDataFrame(pdf[cc.CC_INPUT_COLS + ["flag"]]), emb_E, emb_R
+
+
+def test_fit_distributed_partition_invariant_and_learns(spark):
+    """fit_crisscross_distributed is bit-deterministic under ANY input
+    partitioning (content-hash shards + in-shard content sort + ordered
+    delta fold) and drives the full-set eval loss below the init params'
+    loss — the labeled frame never lands on the driver."""
+    feats, E, R = _feats_df(spark)
+    kw = dict(lr=1e-2, mb=32, epochs=4, n_shards=5, dropout=False)
+    p1 = cc.fit_crisscross_distributed(feats.repartition(2), E, R, **kw)
+    p2 = cc.fit_crisscross_distributed(feats.repartition(13), E, R, **kw)
+    for k in cc._delta_keys(p1):
+        assert np.array_equal(np.asarray(p1[k]), np.asarray(p2[k])), k
+
+    pdf = feats.toPandas().sort_values(["h", "t", "r", "flag"]).reset_index(drop=True)
+    batch = cc.batch_from_pandas(pdf)
+    y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
+
+    def ce(params):
+        pv, _ = cc.forward(batch, params, (E, R), train=False)
+        p1_ = pv[np.arange(len(y)), y.astype(np.int64)]
+        return float(-np.mean(np.log(p1_ + 1e-12)))
+
+    init = cc.init_params(E.shape[1], R.shape[1], seed=42)
+    assert ce(p1) < ce(init)
+
+
+def test_score_triples_crisscross_distributed_end_to_end(spark):
+    """kind='crisscross' + fit_kw={'distributed': True} trains the M6 net
+    without collecting the labeled set and emits finite confidences."""
+    from tests.test_kg import TINY_TRIPLES
+    from ttmf_spark.kg.pipeline import score_triples
+
+    tiny = spark.createDataFrame(TINY_TRIPLES, ["s", "p", "o"])
+    scored, model = score_triples(
+        spark, tiny, kind="crisscross",
+        transe_kw={"epochs": 2},
+        fusion_kw={"distributed": True, "epochs": 2, "max_steps": 6,
+                   "n_shards": 3},
+    )
+    rows = scored.collect()
+    assert len(rows) == len(TINY_TRIPLES)
+    for r in rows:
+        assert 0.0 <= r["conf"] <= 1.0

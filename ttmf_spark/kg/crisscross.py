@@ -493,3 +493,179 @@ def add_confidence(features_df: DataFrame, conf_udf) -> DataFrame:
     return features_df.withColumn(
         "conf", conf_udf(*[F.col(c) for c in CC_INPUT_COLS])
     )
+
+
+def _delta_keys(params: dict) -> list[str]:
+    """Trainable keys + BN running stats — everything a shard can move."""
+    return _trained_keys(params) + [
+        k for k in params if k.endswith(("_mean", "_var"))
+    ]
+
+
+def _shard_fit_fn(b, lr, mb, seed, ep, dropout, max_steps):
+    """One shard's local Adam pass for fit_crisscross_distributed.
+
+    Rows are sorted by (h, t, r, flag, trans_conf) before the rng
+    permutation — features are functions of (h, r, t), so the sort is a
+    content-total order (trans_conf is the continuous tiebreak for
+    synthetic frames whose duplicate keys carry distinct features) and
+    the pass is independent of Spark's within-group row order (the
+    repartition-invariance pytest pins this).
+    """
+
+    def _fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sh = int(key[0])
+        params0, E, R = b.value
+        p = {
+            k: (np.copy(v) if isinstance(v, np.ndarray) else v)
+            for k, v in params0.items()
+        }
+        pdf = pdf.sort_values(
+            ["h", "t", "r", "flag", "trans_conf"]
+        ).reset_index(drop=True)
+        batch = batch_from_pandas(pdf)
+        y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
+        rng = np.random.default_rng((seed, ep, sh))
+        drop_rng = (
+            np.random.default_rng((seed, ep, sh, 1)) if dropout else None
+        )
+        keys = _trained_keys(p)
+        m = {k: 0.0 for k in keys}
+        v = {k: 0.0 for k in keys}
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        order = rng.permutation(len(y))
+        step = 0
+        for s0 in range(0, len(y), mb):
+            if max_steps is not None and step >= max_steps:
+                break
+            bi = order[s0 : s0 + mb]
+            if len(bi) < 2:  # BN needs a batch
+                continue
+            _, g = loss_and_grads(
+                {k: a[bi] for k, a in batch.items()}, y[bi], p, (E, R),
+                drop_rng=drop_rng, update_running=True,
+            )
+            step += 1
+            for k in keys:
+                m[k] = beta1 * m[k] + (1 - beta1) * g[k]
+                v[k] = beta2 * v[k] + (1 - beta2) * (np.asarray(g[k]) ** 2)
+                mh = m[k] / (1 - beta1**step)
+                vh = v[k] / (1 - beta2**step)
+                p[k] = p[k] - lr * mh / (np.sqrt(vh) + eps)
+        rows = []
+        for k in _delta_keys(p):
+            d = np.asarray(p[k], dtype=np.float64) - np.asarray(
+                params0[k], dtype=np.float64
+            )
+            rows.append((sh, k, d.ravel().tolist()))
+        return pd.DataFrame(rows, columns=["sh", "key", "delta"])
+
+    return _fn
+
+
+def fit_crisscross_distributed(
+    feats_df,
+    ent: np.ndarray,
+    rel: np.ndarray,
+    lr: float = 1e-3,
+    mb: int = 64,
+    epochs: int = 100,
+    patience: int = 20,
+    seed: int = 42,
+    dropout: bool = True,
+    max_steps: int | None = None,
+    n_shards: int = 8,
+) -> dict:
+    """M6 without the driver-resident labeled set: epoch-sharded local
+    Adam + ordered parameter averaging (the fit_embeddings_distributed
+    recipe applied to the crisscross net).
+
+    ``feats_df`` carries CC_INPUT_COLS + flag and NEVER lands on the
+    driver: labeled rows are content-hash sharded once, each epoch
+    broadcasts the (~2 MB, architecture-bounded) parameter dict, every
+    shard runs one local Adam pass in a grouped-Arrow task, and the
+    driver folds the per-shard deltas IN SHARD ORDER (averaging is the
+    standard parameter-averaging step; the fold order makes it
+    bit-deterministic). Early stopping evaluates a deterministic ~10%
+    content-hash holdout through the eval-mode fast-path forward — the
+    only rows collected, and only per epoch's loss scalar matters.
+
+    Not the same optimizer trajectory as the sequential driver fit (the
+    usual parameter-averaging tradeoff, as with the M4 trainer) — pinned
+    instead by determinism-under-repartitioning, holdout-loss-decreases,
+    and e2e scoring pytests. Scale: fit cost is bounded by
+    max_steps * mb rows per shard per epoch; the labeled set can grow
+    to distant-supervision size (10^8+ rows) without touching driver
+    memory.
+    """
+    spark = feats_df.sparkSession
+    emb = (
+        np.asarray(ent, dtype=np.float64),
+        np.asarray(rel, dtype=np.float64),
+    )
+    params = init_params(emb[0].shape[1], emb[1].shape[1], seed=seed)
+    hcols = [F.col("h"), F.col("t"), F.col("r"), F.col("flag")]
+    val_df = feats_df.filter(
+        F.pmod(F.xxhash64(*hcols, F.lit(seed + 999)), F.lit(10)) == 0
+    )
+    train_df = feats_df.filter(
+        F.pmod(F.xxhash64(*hcols, F.lit(seed + 999)), F.lit(10)) != 0
+    ).withColumn(
+        "_sh", F.pmod(F.xxhash64(*hcols, F.lit(seed)), F.lit(n_shards))
+    ).localCheckpoint(eager=True)
+
+    val_pdf = (
+        val_df.select(*CC_INPUT_COLS, "flag")
+        .toPandas()
+        .sort_values(["h", "t", "r", "flag", "trans_conf"])
+        .reset_index(drop=True)
+    )
+    if not len(val_pdf):  # degenerate tiny sets: hold out nothing
+        val_pdf = (
+            train_df.select(*CC_INPUT_COLS, "flag").limit(mb).toPandas()
+        )
+    val_b = batch_from_pandas(val_pdf)
+    val_y = (val_pdf["flag"].to_numpy() == 1).astype(np.float64)
+
+    keys = _delta_keys(params)
+    shapes = {k: np.asarray(params[k]).shape for k in keys}
+    best = {k: np.copy(np.asarray(params[k])) for k in keys}
+    best_loss, bad = np.inf, 0
+    sc = spark.sparkContext
+    for ep in range(epochs):
+        b = sc.broadcast((params, emb[0], emb[1]))
+        deltas = (
+            train_df.groupBy("_sh")
+            .applyInPandas(
+                _shard_fit_fn(b, lr, mb, seed, ep, dropout, max_steps),
+                schema="sh long, key string, delta array<double>",
+            )
+            .toPandas()
+        )
+        b.unpersist()
+        if not len(deltas):
+            break
+        deltas = deltas.sort_values(["key", "sh"])  # ordered fold
+        for k, grp in deltas.groupby("key", sort=False):
+            acc = None
+            for d in grp["delta"]:
+                a = np.asarray(d, dtype=np.float64)
+                acc = a if acc is None else acc + a
+            mean = acc / float(len(grp))
+            if shapes[k] == ():
+                params[k] = float(np.asarray(params[k]) + mean[0])
+            else:
+                params[k] = np.asarray(params[k]) + mean.reshape(shapes[k])
+        pv, _ = forward(val_b, params, emb, train=False)
+        p1 = pv[np.arange(len(val_y)), val_y.astype(np.int64)]
+        vloss = float(-np.mean(np.log(p1 + 1e-12)))
+        if vloss < best_loss - 1e-6:
+            best_loss, bad = vloss, 0
+            best = {k: np.copy(np.asarray(params[k])) for k in keys}
+        else:
+            bad += 1
+            if bad >= patience:
+                break
+    for k in keys:
+        params[k] = best[k] if shapes[k] != () else float(best[k])
+    return params

@@ -219,12 +219,21 @@ def fit_fusion(
     feats = attach_features(ctx, ctx.dev_pairs)
     if kind == "crisscross":
         feats = paths.path_features(feats, ctx.ranked_paths)
+        kw = dict(fit_kw or {})
+        if kw.pop("distributed", False):
+            # labeled set never lands on the driver (M6 distributed route)
+            model.fusion_weights = crisscross.fit_crisscross_distributed(
+                feats.select(*crisscross.CC_INPUT_COLS, "flag"),
+                model.p_ent, model.p_rel, seed=seed, **kw,
+            )
+            model.fusion_kind = kind
+            return model
         pdf = feats.select(*crisscross.CC_INPUT_COLS, "flag").toPandas()
         y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
         # frozen embeddings = the PATH vectors (Model1 loads PTransE ones)
         model.fusion_weights = crisscross.fit_crisscross(
             crisscross.batch_from_pandas(pdf), y, model.p_ent, model.p_rel,
-            seed=seed, **(fit_kw or {}),
+            seed=seed, **kw,
         )
         model.fusion_kind = kind
         return model
