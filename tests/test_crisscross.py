@@ -194,7 +194,10 @@ def test_fit_distributed_partition_invariant_and_learns(spark):
     delta fold) and drives the full-set eval loss below the init params'
     loss — the labeled frame never lands on the driver."""
     feats, E, R = _feats_df(spark)
-    kw = dict(lr=1e-2, mb=32, epochs=4, n_shards=5, dropout=False)
+    # val_cap=12 forces the content-hash holdout-thinning branch (the
+    # ~10% holdout of 240 rows is > 12): determinism must survive it
+    kw = dict(lr=1e-2, mb=32, epochs=4, n_shards=5, dropout=False,
+              val_cap=12)
     p1 = cc.fit_crisscross_distributed(feats.repartition(2), E, R, **kw)
     p2 = cc.fit_crisscross_distributed(feats.repartition(13), E, R, **kw)
     for k in cc._delta_keys(p1):

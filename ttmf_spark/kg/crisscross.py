@@ -575,6 +575,7 @@ def fit_crisscross_distributed(
     dropout: bool = True,
     max_steps: int | None = None,
     n_shards: int = 8,
+    val_cap: int = 100_000,
 ) -> dict:
     """M6 without the driver-resident labeled set: epoch-sharded local
     Adam + ordered parameter averaging (the fit_embeddings_distributed
@@ -588,7 +589,10 @@ def fit_crisscross_distributed(
     standard parameter-averaging step; the fold order makes it
     bit-deterministic). Early stopping evaluates a deterministic ~10%
     content-hash holdout through the eval-mode fast-path forward — the
-    only rows collected, and only per epoch's loss scalar matters.
+    only rows collected, and only per epoch's loss scalar matters;
+    ``val_cap`` bounds that collect at distant-supervision scale by
+    thinning the holdout with a second content hash (expected ~val_cap
+    rows — deterministic under any partitioning, like everything here).
 
     Not the same optimizer trajectory as the sequential driver fit (the
     usual parameter-averaging tradeoff, as with the M4 trainer) — pinned
@@ -608,6 +612,14 @@ def fit_crisscross_distributed(
     val_df = feats_df.filter(
         F.pmod(F.xxhash64(*hcols, F.lit(seed + 999)), F.lit(10)) == 0
     )
+    n_val = val_df.count()
+    if val_cap and n_val > val_cap:
+        # content-hash thinning: keeps ~val_cap rows in expectation, and
+        # stays a pure row-content predicate (partition-invariant)
+        val_df = val_df.filter(
+            F.pmod(F.xxhash64(*hcols, F.lit(seed + 1234)), F.lit(n_val))
+            < F.lit(val_cap)
+        )
     train_df = feats_df.filter(
         F.pmod(F.xxhash64(*hcols, F.lit(seed + 999)), F.lit(10)) != 0
     ).withColumn(
