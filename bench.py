@@ -73,6 +73,12 @@ TRANSE_EPOCHS = int(os.environ.get("SPARK_GRAFT_TRANSE_EPOCHS", "10"))
 CC_EPOCHS = int(os.environ.get("SPARK_GRAFT_CC_EPOCHS", "20"))
 # ~50 ms/step measured (sf0.001, mb=64): 1200 steps ~= 60 s fit bound
 CC_MAX_STEPS = int(os.environ.get("SPARK_GRAFT_CC_MAX_STEPS", "1200"))
+# opt-in: fit the M6 tier via fit_crisscross_distributed (epoch-sharded
+# grouped-Arrow Adam; the labeled set never lands on the driver) instead
+# of the driver kernel — the distant-supervision-scale route, benched on
+# demand (at query-set-sized dev sets the driver kernel is faster; same
+# tradeoff as the TransE table route, see SCALE.md)
+CC_DISTRIBUTED = os.environ.get("SPARK_GRAFT_CC_DISTRIBUTED", "0") == "1"
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 # scaling-only mode: skip the headline queries and run just the pinned
 # ladder (used to re-measure efficiency without paying ~3 min of query
@@ -273,7 +279,11 @@ def main() -> None:
         cc_triples,
         kind="crisscross",
         transe_kw={"epochs": TRANSE_EPOCHS},
-        fusion_kw={"epochs": CC_EPOCHS, "max_steps": CC_MAX_STEPS},
+        fusion_kw={
+            "epochs": CC_EPOCHS,
+            "max_steps": CC_MAX_STEPS,
+            **({"distributed": True} if CC_DISTRIBUTED else {}),
+        },
         store=cc_store,
     )
     t_w = time.perf_counter()
