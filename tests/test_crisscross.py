@@ -217,8 +217,10 @@ def test_fit_distributed_partition_invariant_and_learns(spark):
 
 
 def test_score_triples_crisscross_distributed_end_to_end(spark):
-    """kind='crisscross' + fit_kw={'distributed': True} trains the M6 net
-    without collecting the labeled set and emits finite confidences."""
+    """kind='crisscross' with driver_max_rows=0 SIZE-ROUTES the M6 fit to
+    fit_crisscross_distributed (any labeled set is 'too big'), training
+    without collecting the labeled set and emitting finite confidences —
+    covers both the size router and the distributed route."""
     from tests.test_kg import TINY_TRIPLES
     from ttmf_spark.kg.pipeline import score_triples
 
@@ -226,7 +228,7 @@ def test_score_triples_crisscross_distributed_end_to_end(spark):
     scored, model = score_triples(
         spark, tiny, kind="crisscross",
         transe_kw={"epochs": 2},
-        fusion_kw={"distributed": True, "epochs": 2, "max_steps": 6,
+        fusion_kw={"driver_max_rows": 0, "epochs": 2, "max_steps": 6,
                    "n_shards": 3},
     )
     rows = scored.collect()

@@ -215,20 +215,33 @@ def fit_fusion(
     ``fit_kw`` (crisscross only) forwards budget knobs to
     crisscross.fit_crisscross — e.g. {"epochs": 20, "max_steps": 4000}
     bounds the benched tier's fit wall time independent of dev-set size.
+    ``fit_kw={"distributed": True/False}`` forces the M6 fit route;
+    unset, it is SIZE-ROUTED like transe.fit_embeddings_from_df: labeled
+    sets <= ``driver_max_rows`` (default 2M rows — a query-set-sized dev
+    split; ~50 ms/step driver Adam beats per-epoch Spark rounds, BENCH.md
+    "Distributed-fit M6 tier") fit on the driver, larger ones go through
+    fit_crisscross_distributed and never land on the driver.
     """
     feats = attach_features(ctx, ctx.dev_pairs)
     if kind == "crisscross":
         feats = paths.path_features(feats, ctx.ranked_paths)
         kw = dict(fit_kw or {})
-        if kw.pop("distributed", False):
+        driver_max_rows = kw.pop("driver_max_rows", 2_000_000)
+        distributed = kw.pop("distributed", None)
+        feats = feats.select(*crisscross.CC_INPUT_COLS, "flag")
+        if distributed is None:
+            # snapshot so the routing count and the fit's collect/shard
+            # pass share ONE materialization of the feature joins
+            feats = feats.localCheckpoint(eager=True)
+            distributed = feats.count() > driver_max_rows
+        if distributed:
             # labeled set never lands on the driver (M6 distributed route)
             model.fusion_weights = crisscross.fit_crisscross_distributed(
-                feats.select(*crisscross.CC_INPUT_COLS, "flag"),
-                model.p_ent, model.p_rel, seed=seed, **kw,
+                feats, model.p_ent, model.p_rel, seed=seed, **kw,
             )
             model.fusion_kind = kind
             return model
-        pdf = feats.select(*crisscross.CC_INPUT_COLS, "flag").toPandas()
+        pdf = feats.toPandas()
         y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
         # frozen embeddings = the PATH vectors (Model1 loads PTransE ones)
         model.fusion_weights = crisscross.fit_crisscross(
