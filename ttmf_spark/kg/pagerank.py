@@ -135,22 +135,20 @@ def pagerank_grouped(
         )
         patched = patched.join(prev, ["core", "src"], "left")
 
-    def _solve_core(core: int, pdf: pd.DataFrame) -> pd.DataFrame:
-        sv = pdf["src"].to_numpy(dtype=np.int64)
-        dv_ = pdf["dst"].to_numpy(dtype=np.int64)
+    def _solve_slice(core, sv, dv_, wv, pr0):
+        """One core's Jacobi on raw array slices -> (cores, nodes, pr)."""
         nodes = np.unique(np.concatenate([sv, dv_, [core]]))
         # nodes is sorted -> searchsorted is the vectorized id->index map
         src = np.searchsorted(nodes, sv)
         dst = np.searchsorted(nodes, dv_)
         core_ix = int(np.searchsorted(nodes, core))
         pr_init = None
-        if with_init:
+        if pr0 is not None:
             # one value per unique src row; every node IS a src post-patch
             first = np.unique(src, return_index=True)[1]
-            vals = pdf["_pr0"].to_numpy(dtype=np.float64)
             pr_init = np.zeros(len(nodes))
             pr_init[core_ix] = 1.0  # cold fallback for NULL/new nodes
-            got = vals[first]
+            got = pr0[first]
             have = ~np.isnan(got)
             pr_init[src[first][have]] = got[have]
         pr = _jacobi(
@@ -158,17 +156,44 @@ def pagerank_grouped(
             core_ix,
             src,
             dst,
-            pdf["w"].to_numpy(dtype=np.float64),
+            wv,
             max_iter=max_iter,
             min_delta=min_delta,
             pr_init=pr_init,
         )
-        return pd.DataFrame({"core": core, "node": nodes.astype(np.int64), "pr": pr})
+        return np.full(len(nodes), core, dtype=np.int64), nodes, pr
 
     def _bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.concat(
-            [_solve_core(int(core), g) for core, g in pdf.groupby("core", sort=False)],
-            ignore_index=True,
+        # pure-numpy batch path: one stable argsort groups the bucket's
+        # cores contiguously, each core solves on array SLICES, and the
+        # bucket emits ONE frame — pandas groupby + a pd.DataFrame per
+        # core cost ~3 ms/core at 30k cores/run (it was half the stage)
+        cores_arr = pdf["core"].to_numpy(dtype=np.int64)
+        order = np.argsort(cores_arr, kind="stable")
+        cs = cores_arr[order]
+        sv_a = pdf["src"].to_numpy(dtype=np.int64)[order]
+        dv_a = pdf["dst"].to_numpy(dtype=np.int64)[order]
+        wv_a = pdf["w"].to_numpy(dtype=np.float64)[order]
+        pr0_a = (
+            pdf["_pr0"].to_numpy(dtype=np.float64)[order]
+            if with_init else None
+        )
+        bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1], True])
+        out = [
+            _solve_slice(
+                int(cs[a]), sv_a[a:b], dv_a[a:b], wv_a[a:b],
+                pr0_a[a:b] if pr0_a is not None else None,
+            )
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        return pd.DataFrame(
+            {
+                "core": np.concatenate([o[0] for o in out]),
+                "node": np.concatenate([o[1] for o in out]).astype(np.int64),
+                "pr": np.concatenate([o[2] for o in out]),
+            }
+            if out
+            else {"core": [], "node": [], "pr": []}
         )
 
     bucketed = patched.withColumn(
