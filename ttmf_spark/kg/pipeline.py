@@ -262,16 +262,42 @@ def fit_fusion(
 
 
 def score_ids(
-    spark: SparkSession, ctx: FeatureContext, model: TTMFModel, query: DataFrame
+    spark: SparkSession,
+    ctx: FeatureContext,
+    model: TTMFModel,
+    query: DataFrame,
+    infer_partitions: int | str | None = "auto",
 ) -> DataFrame:
-    """Attach the fused ``conf`` column to an id-triple query frame."""
+    """Attach the fused ``conf`` column to an id-triple query frame.
+
+    ``infer_partitions`` sizes the inference stage's parallelism
+    ("auto" = 2x defaultParallelism; None = inherit upstream). This
+    repartition exists because nothing else sets it by COMPUTE: the
+    feature joins are all broadcast (no shuffle) and scan/AQE
+    partitioning sizes by BYTES, so a byte-small query frame — e.g. one
+    read back from a checkpoint — reaches the pandas-UDF stage as a
+    handful of partitions and the forward pass runs nearly serial (the
+    round-3 "crisscross transfer" mystery: an event-level probe,
+    scripts/probe_cc_infer2.py, measured the whole 74.5k-row stage in
+    ONE Python worker — 5.8s of kernel on one core, with Arrow transfer
+    of the nine padded path columns at ~0.2s and packing them into one
+    column worth ~nothing). Python-UDF stages must be partitioned for
+    CPU, not bytes; one narrow-row round-robin shuffle of the query
+    stream buys full-cluster inference at any input size.
+    """
+    if infer_partitions == "auto":
+        infer_partitions = 2 * spark.sparkContext.defaultParallelism
     feats = attach_features(ctx, query)
     if model.fusion_kind == "crisscross":
         feats = paths.path_features(feats, ctx.ranked_paths)
+        if infer_partitions:
+            feats = feats.repartition(infer_partitions)
         udf = crisscross.crisscross_udf(
             spark, model.fusion_weights, model.p_ent, model.p_rel
         )
         return crisscross.add_confidence(feats, udf)
+    if infer_partitions:
+        feats = feats.repartition(infer_partitions)
     if model.fusion_kind == "mlp":
         udf = fusion.mlp_udf(spark, model.fusion_weights)
     else:
