@@ -225,3 +225,91 @@ def test_triple_support_incremental_matches_full_recompute(spark):
     f = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in folded.collect()}
     w = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in full.collect()}
     assert f == w
+
+
+def test_resupport_after_merge_shared_witness(spark):
+    """The case plain count-adding gets WRONG: two old triples collapse
+    into one new key while sharing a witness doc — the merged support
+    must count that doc once. Hand-built frames isolate the algebra."""
+    from ttmf_spark.extract.pipeline import (
+        _support_agg,
+        resupport_after_merge,
+    )
+
+    doc_level = spark.createDataFrame(
+        [
+            ("d1", "A", "p", "B"),
+            ("d1", "C", "p", "B"),  # d1 witnesses BOTH old keys
+            ("d2", "C", "p", "B"),
+            ("d2", "A", "p", "C"),  # o-side relabel -> (A, p, A)
+            ("d3", "X", "p", "Y"),  # untouched
+        ],
+        ["doc_id", "s", "p", "o"],
+    )
+    support = _support_agg(doc_level).localCheckpoint(eager=True)
+    remap = spark.createDataFrame([("C", "A")], ["old", "new"])
+    new_support, new_doc = resupport_after_merge(support, doc_level, remap)
+
+    got = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in new_support.collect()}
+    assert got == {
+        ("A", "p", "B"): (2, "d1"),  # d1 counted ONCE despite 2 old rows
+        ("A", "p", "A"): (1, "d2"),
+        ("X", "p", "Y"): (1, "d3"),
+    }
+    gd = {(r.doc_id, r.s, r.p, r.o) for r in new_doc.collect()}
+    assert gd == {
+        ("d1", "A", "p", "B"),
+        ("d2", "A", "p", "B"),
+        ("d2", "A", "p", "A"),
+        ("d3", "X", "p", "Y"),
+    }
+
+
+def test_resupport_after_merge_matches_full_recompute(spark):
+    """End-to-end maintenance chain on the real corpus: build support +
+    doc-level provenance under a PARTIAL alias graph, fold the held-out
+    alias edges in via components_incremental, derive the merge map with
+    label_remap, re-support with resupport_after_merge — the maintained
+    tables must equal triple_support / doc_triples recomputed from
+    scratch under the union alias graph."""
+    from ttmf_spark.extract.canonicalize import (
+        components_incremental,
+        label_remap,
+    )
+    from ttmf_spark.extract.pipeline import (
+        _support_agg,
+        doc_triples,
+        resupport_after_merge,
+        triple_support,
+    )
+
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    # deterministic split of the alias graph; the held-out delta merges
+    # alias clusters that base-mapping triples canonicalized separately
+    key = F.crc32(F.concat_ws("|", "src", "dst")) % 3
+    base_same = same.filter(key != 0)
+    delta_same = same.filter(key == 0)
+    assert delta_same.count() > 0
+
+    base_labels = connected_components(base_same).localCheckpoint(eager=True)
+    doc_level = doc_triples(docs, gaz, same_as=base_same).localCheckpoint(
+        eager=True
+    )
+    support = _support_agg(doc_level).localCheckpoint(eager=True)
+
+    new_labels = components_incremental(base_labels, delta_same)
+    remap = label_remap(base_labels, new_labels).localCheckpoint(eager=True)
+    assert remap.count() > 0  # the delta really merges clusters
+    new_support, new_doc = resupport_after_merge(support, doc_level, remap)
+
+    want_support = triple_support(docs, gaz, same_as=same)
+    got = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in new_support.collect()}
+    want = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in want_support.collect()}
+    assert got == want
+
+    want_doc = doc_triples(docs, gaz, same_as=same)
+    assert {(r.doc_id, r.s, r.p, r.o) for r in new_doc.collect()} == {
+        (r.doc_id, r.s, r.p, r.o) for r in want_doc.collect()
+    }

@@ -226,3 +226,65 @@ def test_cms_stream_matches_batch(spark, tmp_path):
             want[(d, r["cell"])] = r["c"]
     assert got == want
     assert sum(got.values()) == ev.count() * 3
+
+
+def test_canonicalize_stream_remap_hook_maintains_support(spark, tmp_path):
+    """ST5's mapping-version hook: when a streamed alias batch MERGES
+    clusters, ``on_remap`` receives the label_remap merge map and the
+    maintained triple-support + doc-level provenance tables re-key via
+    resupport_after_merge — ending equal to a from-scratch recompute
+    under the full alias graph (the N22 alias-merge precondition, now
+    closed in code rather than documentation)."""
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.extract.pipeline import (
+        _support_agg,
+        doc_triples,
+        resupport_after_merge,
+        triple_support,
+    )
+
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    part = F.pmod(F.xxhash64("src", "dst"), F.lit(2))
+    drop1, drop2 = same.filter(part == 0), same.filter(part == 1)
+
+    in_dir = str(tmp_path / "alias_in")
+    labels = str(tmp_path / "labels")
+    ck = str(tmp_path / "alias_ck")
+    drop1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    # batch 0: establish the labeling, then build the maintained state
+    # under it (the support table a long-running pipeline would carry)
+    q = streaming.canonicalize_stream(spark, in_dir, labels, ck, max_files=1)
+    q.awaitTermination(300)
+    doc0 = doc_triples(docs, gaz, same_as=drop1).localCheckpoint(eager=True)
+    state = {
+        "support": _support_agg(doc0).localCheckpoint(eager=True),
+        "doc": doc0,
+        "versions": [],
+    }
+
+    def hook(remap, batch_id):
+        sup, doc = resupport_after_merge(state["support"], state["doc"], remap)
+        state["support"] = sup.localCheckpoint(eager=True)
+        state["doc"] = doc.localCheckpoint(eager=True)
+        state["versions"].append(batch_id)
+
+    # batch 1: the held-out alias edges merge clusters; the hook fires
+    drop2.coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming.canonicalize_stream(
+        spark, in_dir, labels, ck, max_files=1, on_remap=hook
+    )
+    q.awaitTermination(300)
+    assert state["versions"], "merge batch must fire the remap hook"
+
+    want = triple_support(docs, gaz, same_as=same)
+    got = {
+        (r.s, r.p, r.o): (r.n_docs, r.first_doc)
+        for r in state["support"].collect()
+    }
+    assert got == {
+        (r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in want.collect()
+    }

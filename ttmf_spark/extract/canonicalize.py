@@ -229,6 +229,33 @@ def components_incremental(
     return updated.unionByName(new_nodes)
 
 
+def label_remap(old_labels: DataFrame, new_labels: DataFrame) -> DataFrame:
+    """(old, new) canonical-label pairs that CHANGED between two labelings
+    — the merge map a cluster-merging alias delta produces, named so
+    downstream maintained tables (triple support, adjacency, ranks) can
+    re-key exactly the affected rows and nothing else.
+
+    ``old_labels``/``new_labels``: (node, component) as produced by
+    ``connected_components`` / ``components_incremental`` (new must be a
+    superset of old's nodes — components_incremental guarantees it).
+    Nodes absent from ``old_labels`` implicitly labeled themselves (the
+    apply_canonical coalesce convention), so a brand-new node that lands
+    in an existing cluster emits (node, component) too. Output is
+    distinct over LABEL pairs: merge-delta-bounded, broadcastable."""
+    old = old_labels.select(
+        F.col("node").alias("_n"), F.col("component").alias("_c_old")
+    )
+    return (
+        new_labels.join(old, new_labels["node"] == old["_n"], "left")
+        .select(
+            F.coalesce("_c_old", "node").alias("old"),
+            F.col("component").alias("new"),
+        )
+        .filter(F.col("old") != F.col("new"))
+        .distinct()
+    )
+
+
 def apply_canonical(
     df: DataFrame, mapping: DataFrame, cols: list[str], broadcast_map: bool = True
 ) -> DataFrame:

@@ -51,6 +51,43 @@ def extract_triples(
     return triples
 
 
+def doc_triples(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    same_as: DataFrame | None = None,
+) -> DataFrame:
+    """Per-(doc_id, s, p, o) provenance rows, distinct — the doc-level
+    evidence table behind ``triple_support`` and the maintained state
+    that makes alias-merge re-support (``resupport_after_merge``)
+    possible: the aggregated (n_docs, first_doc) table alone cannot
+    answer a cluster merge, because two old triples collapsing into one
+    may share supporting documents and their counts do NOT add.
+
+    Same dataflow as ``extract_triples`` with doc_id carried through
+    assembly; the per-(doc, triple) dedup hashes on the full
+    (doc_id, s, p, o) key, so hub entities do not skew the shuffle.
+    """
+    with_doc = assemble_triples_wide_with_doc(
+        link_entities_wide(
+            detect_mentions_wide(flatten_docs(docs)), gazetteer, WIDE_SLOTS
+        )
+    )
+    if same_as is not None:
+        mapping = canonical_map(same_as)
+        # canonical ids can merge per-doc rows -> re-dedup per (doc, triple)
+        with_doc = apply_canonical(
+            with_doc, mapping, ["s", "o"]
+        ).distinct()
+    return with_doc
+
+
+def _support_agg(doc_level: DataFrame) -> DataFrame:
+    """(doc_id, s, p, o) distinct rows -> (s, p, o, n_docs, first_doc)."""
+    return doc_level.groupBy("s", "p", "o").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
 def triple_support(
     docs: DataFrame,
     gazetteer: DataFrame,
@@ -64,25 +101,11 @@ def triple_support(
     The evidence table a downstream trust model consumes alongside the
     triple set: support is the cheapest independent confidence signal a
     100 TB corpus offers (a fact asserted by 10^6 documents vs 1), and
-    first_doc gives audits a concrete witness. Same dataflow as
-    ``extract_triples`` with doc_id carried through assembly; the
-    per-(doc, triple) dedup and the final (s, p, o) aggregation hash on
-    the full triple key, so hub entities do not skew either shuffle.
+    first_doc gives audits a concrete witness. The final (s, p, o)
+    aggregation hashes on the full triple key, so hub entities do not
+    skew it; see ``doc_triples`` for the doc-level dataflow.
     """
-    with_doc = assemble_triples_wide_with_doc(
-        link_entities_wide(
-            detect_mentions_wide(flatten_docs(docs)), gazetteer, WIDE_SLOTS
-        )
-    )
-    if same_as is not None:
-        mapping = canonical_map(same_as)
-        # canonical ids can merge per-doc rows -> re-dedup per (doc, triple)
-        with_doc = apply_canonical(
-            with_doc, mapping, ["s", "o"]
-        ).distinct()
-    return with_doc.groupBy("s", "p", "o").agg(
-        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
-    )
+    return _support_agg(doc_triples(docs, gazetteer, same_as=same_as))
 
 
 def triple_support_incremental(
@@ -109,8 +132,10 @@ def triple_support_incremental(
     - ``same_as`` is the SAME canonical mapping ``existing`` was built
       under. When an alias delta merges clusters (components_incremental
       relabels), triples touching relabeled entities must be re-supported
-      from their supporting docs instead — the merge map names exactly
-      which rows those are.
+      from their supporting docs instead — ``resupport_after_merge``
+      (below) does exactly that from the maintained ``doc_triples``
+      table and the ``label_remap`` merge map; run it BEFORE folding
+      further doc batches under the new mapping.
 
     Pinned by tests/test_extract.py: fold(base, delta) equals
     ``triple_support`` recomputed on the union corpus.
@@ -135,3 +160,86 @@ def triple_support_incremental(
         # own witness
         F.least("_f_e", "_f_d").alias("first_doc"),
     )
+
+
+def resupport_after_merge(
+    existing: DataFrame,
+    doc_level: DataFrame,
+    remap: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-key a maintained support table after an alias-merge relabeling.
+
+    Closes the ``triple_support_incremental`` precondition: when a
+    ``components_incremental`` delta MERGES clusters, the canonical
+    mapping changes and the affected triples' supports must be recomputed
+    from their supporting DOCUMENTS — counts cannot be added across the
+    merged keys, because two old triples collapsing into one new key may
+    share witnesses (one doc asserting both (A, p, B) and (C, p, B) with
+    C merging into A supports the merged triple ONCE).
+
+    Inputs:
+      - ``existing``: (s, p, o, n_docs, first_doc) under the OLD mapping;
+      - ``doc_level``: the maintained (doc_id, s, p, o) provenance rows
+        (``doc_triples``) under the OLD mapping;
+      - ``remap``: (old, new) CHANGED canonical-label pairs
+        (``canonicalize.label_remap(old_labels, new_labels)``) — the
+        merge map, delta-bounded by construction.
+
+    Returns ``(support, doc_level)`` both under the NEW mapping —
+    equal to a from-scratch ``triple_support`` / ``doc_triples`` under
+    the union alias graph (pinned by pytest).
+
+    Scale shape: ``remap`` broadcasts onto the two maintained tables (no
+    corpus shuffle to FIND the affected rows — on an Iceberg/bucketed
+    doc_level the s/o predicates also prune files); every shuffle
+    (relabeled-row dedup, re-aggregation, collide splice) runs on the
+    affected-subgraph-sized row sets only. Hot merged entities are
+    bounded by the same full-triple-key hashing as the base build.
+    """
+    remap = remap.filter(F.col("old") != F.col("new")).distinct()
+    ms = F.broadcast(
+        remap.select(F.col("old").alias("s"), F.col("new").alias("_ns"))
+    )
+    mo = F.broadcast(
+        remap.select(F.col("old").alias("o"), F.col("new").alias("_no"))
+    )
+    marked = doc_level.join(ms, "s", "left").join(mo, "o", "left")
+    touched = marked.filter(
+        F.col("_ns").isNotNull() | F.col("_no").isNotNull()
+    )
+    untouched = marked.filter(
+        F.col("_ns").isNull() & F.col("_no").isNull()
+    ).drop("_ns", "_no")
+    # relabel the touched rows; the merge can collapse per-doc duplicates
+    relabeled = touched.select(
+        "doc_id",
+        F.coalesce("_ns", "s").alias("s"),
+        "p",
+        F.coalesce("_no", "o").alias("o"),
+    ).distinct()
+    # new keys K: every key the relabeled rows land on. Untouched rows
+    # already ON those keys must join the recount (their counts merge
+    # with the incomers and may share witness docs).
+    new_keys = F.broadcast(relabeled.select("s", "p", "o").distinct())
+    collide = untouched.join(new_keys, ["s", "p", "o"], "left_semi")
+    refit = relabeled.unionByName(collide).distinct()
+    new_support_rows = _support_agg(refit)
+
+    # splice: drop every OLD key of a touched row and every key in K,
+    # then add the recomputed rows
+    drop_keys = (
+        touched.select("s", "p", "o")
+        .distinct()
+        .unionByName(new_keys.select("s", "p", "o"))
+        .distinct()
+    )
+    support = existing.join(
+        F.broadcast(drop_keys), ["s", "p", "o"], "left_anti"
+    ).unionByName(new_support_rows)
+
+    # maintained doc-level state: untouched rows off K keep themselves;
+    # on-K rows are replaced by the deduped refit set
+    new_doc_level = untouched.join(
+        new_keys, ["s", "p", "o"], "left_anti"
+    ).unionByName(refit)
+    return support, new_doc_level

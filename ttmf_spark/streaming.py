@@ -489,6 +489,7 @@ def canonicalize_stream(
     checkpoint_dir: str,
     trigger_once: bool = True,
     max_files: int = 16,
+    on_remap=None,
 ):
     """Incremental alias-graph canonicalization: as same_as edge files
     land, maintain the (node, component) canonical-label table by folding
@@ -514,10 +515,21 @@ def canonicalize_stream(
     label table itself, stored versioned (production swaps the versioned
     parquet dirs for Iceberg snapshots of one table and keeps only the
     newest — same contract, catalog-managed retention).
+
+    ``on_remap(remap_df, batch_id)``, if given, is the mapping-version
+    hook: called after each batch's labels COMMIT with the
+    ``label_remap`` merge map (CHANGED (old, new) canonical pairs,
+    delta-bounded; called only when non-empty). This is where maintained
+    tables keyed by canonical ids re-key themselves — e.g.
+    ``extract.pipeline.resupport_after_merge`` for the triple-support
+    table (pinned by tests/test_streaming.py). Replay safety: the hook
+    fires again if the batch replays after a crash; consumers must be
+    idempotent per batch_id (version their outputs like this sink does).
     """
     from ttmf_spark.extract.canonicalize import (
         components_incremental,
         connected_components,
+        label_remap,
     )
 
     sdf = (
@@ -534,8 +546,16 @@ def canonicalize_stream(
             )
             labels = components_incremental(base, batch_df)
         else:
+            base = None
             labels = connected_components(batch_df)
         labels.write.mode("overwrite").parquet(f"{labels_dir}/v={batch_id}")
+        if on_remap is not None and base is not None:
+            committed = spark.read.schema(
+                "node string, component string"
+            ).parquet(f"{labels_dir}/v={batch_id}")
+            remap = label_remap(base, committed).localCheckpoint(eager=True)
+            if remap.count() > 0:
+                on_remap(remap, batch_id)
 
     writer = sdf.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
