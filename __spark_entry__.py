@@ -29,16 +29,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the grading driver's correctness run caps at the
-    # FIRST ~50 entries in dict order. Rounds 1+2 drove 72 distinct
-    # queries green; this round the window holds the 44 oracle-backed
-    # queries that have never had a driver CORRECTNESS row, the 2 whose
-    # semantics changed after their round-1 green row (doc_jaccard_pairs
-    # max_df=100, emb_near_dup LSH-banded), and the round-3 additions.
-    # Everything rotated out remains pinned by the full in-repo replica
-    # (tests/test_queries_oracle.py runs every oracle at sf0.001).
+    # FIRST ~50 entries in dict order. The union across rounds 1-3 gave
+    # every registered query at least one driver row (103 oracle-backed
+    # hash-green). The round-4 window holds, in priority order: the one
+    # never-hash-gated oracle-backed query (doc_simhash_near_dup), the
+    # newly-oracle-gated kg_ptranse_dev_loss (fixed-sweep PTransE twin,
+    # replacing its rows-only entry), re-gates for queries whose
+    # upstreams changed in r3/r4 (numpy-batched pagerank kernel,
+    # bucketed-sink fix, trainer refactors, the r4 doc_triples/support
+    # refactor + score-path repartition), and then the oldest-gated
+    # (r1/r2) queries so every row's gate stays fresh on current
+    # semantics. Everything rotated out remains pinned by the full
+    # in-repo replica (tests/test_queries_oracle.py, every oracle at
+    # sf0.001) and the pre-round gate_sweep at sf0.01.
     return {
-        # --- driver window (round 3): never-driver-gated queries first ---
-        # data pipeline: text analysis / scoring
+        # --- driver window (round 4) ---
+        # never hash-gated + the new training-recurrence gate
+        "doc_simhash_near_dup": Q.q_doc_simhash_near_dup,
+        "kg_ptranse_dev_loss": Q.q_kg_ptranse_dev_loss,
+        # re-gates: r3-touched upstreams on stale r2 gates
+        "kg_pagerank_fixed": Q.q_kg_pagerank_fixed,
+        "span_flatten": Q.q_span_flatten,
+        "extract_triples": Q.q_extract_triples,
+        "kg_dev_loss": Q.q_kg_dev_loss,
+        "kg_paths": Q.q_kg_paths,
+        # re-gates: r4-touched upstreams (support refactor, score-path
+        # repartition)
+        "kg_triple_support": Q.q_kg_triple_support,
+        "kg_support_delta": Q.q_kg_support_delta,
+        "kg_components_delta": Q.q_kg_components_delta,
+        "kg_fusion_conf": Q.q_kg_fusion_conf,
+        "kg_lowest_conf": Q.q_kg_lowest_conf,
+        "kg_crisscross_conf": Q.q_kg_crisscross_conf,  # rows-only
+        # oldest gates first: r1-gated doc core
+        "doc_stats": Q.q_doc_stats,
+        "doc_quality": Q.q_doc_quality,
+        "doc_exact_dedup": Q.q_doc_exact_dedup,
+        "doc_langid": Q.q_doc_langid,
+        "doc_fingerprint": Q.q_doc_fingerprint,
+        "doc_minhash_pairs": Q.q_doc_minhash_pairs,
+        "doc_simhash": Q.q_doc_simhash,
+        # r2-gated corpus/extraction + KG layer
+        "emb_topk": Q.q_emb_topk,
+        "kg_extraction_pr": Q.q_kg_extraction_pr,
+        "kg_cooccurrence": Q.q_kg_cooccurrence,
+        "kg_entity2id": Q.q_kg_entity2id,
+        "kg_triples2id": Q.q_kg_triples2id,
+        "kg_adjacency": Q.q_kg_adjacency,
+        "kg_reach": Q.q_kg_reach,
+        "kg_subgraph_edges": Q.q_kg_subgraph_edges,
+        "kg_degrees": Q.q_kg_degrees,
+        "kg_threshold_scan": Q.q_kg_threshold_scan,
+        "kg_tc_pairs": Q.q_kg_tc_pairs,
+        "kg_kgc_candidates": Q.q_kg_kgc_candidates,
+        "kg_common_neighbors": Q.q_kg_common_neighbors,
+        "kg_degree_hist": Q.q_kg_degree_hist,
+        "kg_snapshot_diff": Q.q_kg_snapshot_diff,
+        "kg_relation_profile": Q.q_kg_relation_profile,
+        "kg_triangles": Q.q_kg_triangles,
+        "kg_inverse_leakage": Q.q_kg_inverse_leakage,
+        "kg_kcore": Q.q_kg_kcore,
+        "kg_communities": Q.q_kg_communities,
+        "kg_components": Q.q_kg_components,
+        "kg_anf": Q.q_kg_anf,
+        "kg_hits": Q.q_kg_hits,
+        "kg_walks": Q.q_kg_walks,
+        "kg_walk_pairs": Q.q_kg_walk_pairs,
+        "doc_kmv_distinct": Q.q_doc_kmv_distinct,
+        "emb_pq_codes": Q.q_emb_pq_codes,
+        "emb_pq_topk": Q.q_emb_pq_topk,
+        "emb_pq_recall": Q.q_emb_pq_recall,
+        # --- end driver window (50); below re-pinned by
+        # tests/test_queries_oracle.py + scripts/gate_sweep.py ---
+        "emb_ivfpq_topk": Q.q_emb_ivfpq_topk,
+        "kg_er_candidates": Q.q_kg_er_candidates,
+        "kg_er_clusters": Q.q_kg_er_clusters,
+        "kg_path_reliability": Q.q_kg_path_reliability,
+        "kg_path_triples": Q.q_kg_path_triples,
+        "kg_link_prediction": Q.q_kg_link_prediction,
+        "kg_rank_metrics": Q.q_kg_rank_metrics,
+        "kg_rank_metrics_by_cat": Q.q_kg_rank_metrics_by_cat,
+        "kg_accuracy": Q.q_kg_accuracy,
+        "kg_calibration": Q.q_kg_calibration,
+        "kg_pr_sweep": Q.q_kg_pr_sweep,
+        "kg_pagerank": Q.q_kg_pagerank,
+        "kg_score_e2e": Q.q_kg_score_e2e,
+        # data pipeline: text analysis / scoring (r3-gated)
         "doc_lm_score": Q.q_doc_lm_score,
         "doc_source_tfidf": Q.q_doc_source_tfidf,
         "doc_top_quality": Q.q_doc_top_quality,
@@ -59,13 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": Q.q_doc_token_budget,
         "doc_length_quantiles": Q.q_doc_length_quantiles,
         "doc_sampled_quantiles": Q.q_doc_sampled_quantiles,
-        # dedup family (never-gated members + the 2 stale re-gates)
         "doc_containment_pairs": Q.q_doc_containment_pairs,
         "doc_near_dup_clusters": Q.q_doc_near_dup_clusters,
         "doc_segment_dedup": Q.q_doc_segment_dedup,
-        "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,  # re-gate: max_df=100
-        "emb_near_dup": Q.q_emb_near_dup,  # re-gate: LSH-banded rewrite
-        # similarity search / embeddings
+        "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
+        "emb_near_dup": Q.q_emb_near_dup,
         "emb_lsh_topk": Q.q_emb_lsh_topk,
         "emb_ivf_topk": Q.q_emb_ivf_topk,
         "emb_ann_recall": Q.q_emb_ann_recall,
@@ -75,7 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": Q.q_emb_semantic_dedup,
         "emb_project": Q.q_emb_project,
         "emb_projection_qa": Q.q_emb_projection_qa,
-        # event streams
         "evt_sessions": Q.q_evt_sessions,
         "evt_anomaly": Q.q_evt_anomaly,
         "evt_cms_counts": Q.q_evt_cms_counts,
@@ -84,81 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_retention": Q.q_evt_retention,
         "evt_windowed": Q.q_evt_windowed,
         "evt_json_stats": Q.q_evt_json_stats,
-        # multimodal plumbing
         "media_frame_plan": Q.q_media_frame_plan,
         "media_interleave_stats": Q.q_media_interleave_stats,
         "media_caption_pairs": Q.q_media_caption_pairs,
-        # round-3 additions + refresh slots (window positions 47-50)
-        "kg_path_triples": Q.q_kg_path_triples,
-        "kg_ptranse_dev_loss": Q.q_kg_ptranse_dev_loss,
-        "kg_triple_support": Q.q_kg_triple_support,
-        "kg_components_delta": Q.q_kg_components_delta,
-        "kg_support_delta": Q.q_kg_support_delta,
-        # --- end driver window; below re-pinned by tests/test_queries_oracle.py ---
-        # round-4 rotation candidate (base op doc_simhash hash-gated r1;
-        # this pair form is pinned by tests/test_queries_oracle.py)
-        "doc_simhash_near_dup": Q.q_doc_simhash_near_dup,
-        # corpus + extraction front end
-        "span_flatten": Q.q_span_flatten,
-        "extract_triples": Q.q_extract_triples,
-        "emb_topk": Q.q_emb_topk,
-        "kg_extraction_pr": Q.q_kg_extraction_pr,
-        # KG layer (SURVEY.md §2.3-2.7)
-        "kg_cooccurrence": Q.q_kg_cooccurrence,
-        "kg_entity2id": Q.q_kg_entity2id,
-        "kg_triples2id": Q.q_kg_triples2id,
-        "kg_adjacency": Q.q_kg_adjacency,
-        "kg_reach": Q.q_kg_reach,
-        "kg_subgraph_edges": Q.q_kg_subgraph_edges,
-        "kg_degrees": Q.q_kg_degrees,
-        "kg_paths": Q.q_kg_paths,
-        "kg_threshold_scan": Q.q_kg_threshold_scan,
-        "kg_pagerank": Q.q_kg_pagerank,
-        "kg_pagerank_fixed": Q.q_kg_pagerank_fixed,
-        "kg_tc_pairs": Q.q_kg_tc_pairs,
-        # scoring / evaluation layer (SURVEY.md §2.8-2.9)
-        "kg_kgc_candidates": Q.q_kg_kgc_candidates,
-        "kg_common_neighbors": Q.q_kg_common_neighbors,
-        "kg_degree_hist": Q.q_kg_degree_hist,
-        "kg_snapshot_diff": Q.q_kg_snapshot_diff,
-        "kg_relation_profile": Q.q_kg_relation_profile,
-        "kg_triangles": Q.q_kg_triangles,
-        "kg_inverse_leakage": Q.q_kg_inverse_leakage,
-        "kg_kcore": Q.q_kg_kcore,
-        "kg_communities": Q.q_kg_communities,
-        "kg_components": Q.q_kg_components,
-        "kg_anf": Q.q_kg_anf,
-        "kg_hits": Q.q_kg_hits,
-        "kg_walks": Q.q_kg_walks,
-        "kg_walk_pairs": Q.q_kg_walk_pairs,
-        "doc_kmv_distinct": Q.q_doc_kmv_distinct,
-        "emb_pq_codes": Q.q_emb_pq_codes,
-        "emb_pq_topk": Q.q_emb_pq_topk,
-        "emb_pq_recall": Q.q_emb_pq_recall,
-        "emb_ivfpq_topk": Q.q_emb_ivfpq_topk,
-        "kg_er_candidates": Q.q_kg_er_candidates,
-        "kg_er_clusters": Q.q_kg_er_clusters,
-        "kg_path_reliability": Q.q_kg_path_reliability,
-        "kg_dev_loss": Q.q_kg_dev_loss,
-        "kg_link_prediction": Q.q_kg_link_prediction,
-        "kg_rank_metrics": Q.q_kg_rank_metrics,
-        "kg_rank_metrics_by_cat": Q.q_kg_rank_metrics_by_cat,
-        "kg_accuracy": Q.q_kg_accuracy,
-        "kg_calibration": Q.q_kg_calibration,
-        "kg_pr_sweep": Q.q_kg_pr_sweep,
-        "kg_fusion_conf": Q.q_kg_fusion_conf,
-        "kg_lowest_conf": Q.q_kg_lowest_conf,
-        "kg_crisscross_conf": Q.q_kg_crisscross_conf,
-        "kg_score_e2e": Q.q_kg_score_e2e,
-        # data pipeline: text analysis + dedup (r1/r2-gated core)
-        "doc_stats": Q.q_doc_stats,
-        "doc_quality": Q.q_doc_quality,
-        "doc_exact_dedup": Q.q_doc_exact_dedup,
-        "doc_langid": Q.q_doc_langid,
-        "doc_fingerprint": Q.q_doc_fingerprint,
-        "doc_minhash_pairs": Q.q_doc_minhash_pairs,
-        "doc_simhash": Q.q_doc_simhash,
-        # data pipeline: multimodal rows-only
         "media_features": Q.q_media_features,
     }
 
@@ -202,6 +203,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_er_clusters": oracles.kg_er_clusters_sql(),
         "kg_path_reliability": oracles_kg.kg_path_reliability_sql(),
         "kg_path_triples": oracles_kg.kg_path_triples_sql(),
+        # the TRAINING recurrence itself, hash-gated (round-4): the
+        # fixed-sweep PTransE twin unrolled epoch by epoch in SQL
+        "kg_ptranse_dev_loss": oracles_kg.kg_ptranse_dev_loss_sql(),
         "kg_dev_loss": oracles_eval.kg_dev_loss_sql(),
         "kg_kgc_candidates": oracles_eval.kg_kgc_candidates_sql(),
         "kg_common_neighbors": oracles_kg.kg_common_neighbors_sql(),
@@ -275,8 +279,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (no oracle): kg_pagerank (convergence-stop fixpoint —
         # the fixed-iteration twin kg_pagerank_fixed IS hash-gated),
         # kg_score_e2e (trained TransE + fitted fusion), kg_crisscross_conf
-        # (masked-RNN forward), media_features (RNG-seeded fake decode),
-        # kg_ptranse_dev_loss (path-trained PTransE embeddings — the path
-        # TABLE is hash-gated via kg_path_triples, the hinge operator via
-        # kg_dev_loss)
+        # (masked-RNN forward), media_features (RNG-seeded fake decode).
+        # kg_ptranse_dev_loss graduated from this list in round 4: the
+        # deterministic fixed-sweep trainer made the full PTransE
+        # training recurrence (paths included) SQL-expressible.
     }

@@ -1009,3 +1009,191 @@ def transe_confidence(
         )
         .drop("_theta")
     )
+
+
+def fit_embeddings_fixed(
+    spark,
+    id_triples: DataFrame,
+    n_ent: int,
+    n_rel: int,
+    paths: DataFrame | None = None,
+    dim: int = 4,
+    epochs: int = 2,
+    lr: float = 0.01,
+    bias: float = 7.0,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic FULL-BATCH gradient-descent TransE/PTransE sweep,
+    expressed entirely in DataFrame ops — the fixed-iteration twin of
+    the SGD trainers, exactly as ``pagerank_routed(max_iter=k)`` has
+    ``kg_pagerank_fixed``: no rng, no driver state, every draw a
+    portable md5 hash, so the whole training recurrence is
+    SQL-expressible and the driver's DuckDB oracle can replay it
+    bit-for-~1e-13 (ROUND(.,6) hashes identically — the
+    kg_pagerank_fixed portability contract).
+
+    Embeddings live as (id, k, val) DataFrames (k < ``dim``); init is
+    hash-uniform in [-0.5, 0.5). Per epoch, ONE aggregated update from
+    all terms at once (full batch):
+
+    - triple terms: per distinct (h, r, t), a positive plus one
+      hash-drawn corrupted-tail negative, logistic loss
+      sigma(bias - 0.5 * ||h + r - t||^2) — the same loss shape and
+      gradient algebra as ``_ptranse_sgd_epoch``;
+    - path terms (``paths``: (r1, r2, r, weight), e.g.
+      ``graph.pcra_path_triples``): the PCRA-weighted relation-path
+      composition term of ``_ptranse_path_epoch`` (Lin et al. 2015,
+      restoring PTransE.java:373-394), positive on r plus one
+      hash-corrupted relation negative, weight-scaled.
+
+    Scale notes: this is ALSO the most scalable trainer shape — model
+    state never leaves the cluster (no |V|-sized driver array, no
+    broadcast), updates are joins + one groupBy per epoch, and
+    determinism survives any partitioning because every aggregation is
+    a plain float64 sum over a content-keyed set. The tradeoff is
+    optimizer quality (full-batch GD needs more epochs than SGD), which
+    is why the SGD trainers remain the production route; this one is
+    the verifiable-numerics route and the driver gate for the PTransE
+    path-composition wiring.
+    """
+    from ttmf_spark.kg.negatives import _portable_hash
+
+    ks = spark.range(dim).select(F.col("id").cast("long").alias("k"))
+
+    def _init(ids_df, tag: str) -> DataFrame:
+        h = _portable_hash(["id", "k"], f"fx{tag}{seed}", "md5")
+        return ids_df.crossJoin(ks).select(
+            "id", "k", (F.pmod(h, F.lit(1_000_000)) / 1e6 - 0.5).alias("val")
+        )
+
+    ent = _init(spark.range(n_ent).select(F.col("id")), "e")
+    rel = _init(spark.range(n_rel).select(F.col("id")), "r")
+
+    trip = id_triples.select("h", "r", "t")
+    neg_t = F.pmod(_portable_hash(["h", "r", "t"], f"fxnt{seed}", "md5"), F.lit(n_ent))
+    terms = trip.select(
+        "h", "r", F.col("t").alias("t0"), F.lit("p").alias("kind"),
+        F.col("t").alias("tail"), F.lit(1.0).alias("y"),
+    ).unionByName(
+        trip.select(
+            "h", "r", F.col("t").alias("t0"), F.lit("n").alias("kind"),
+            neg_t.alias("tail"), F.lit(0.0).alias("y"),
+        )
+    ).localCheckpoint(eager=True)
+    if paths is not None:
+        neg_r = F.pmod(
+            _portable_hash(["r1", "r2", "r"], f"fxnr{seed}", "md5"), F.lit(n_rel)
+        )
+        pterms = paths.select(
+            "r1", "r2", F.col("r").alias("r0"), F.lit("p").alias("kind"),
+            F.col("r").alias("rr"), F.lit(1.0).alias("y"),
+            F.col("weight").alias("wgt"),
+        ).unionByName(
+            paths.select(
+                "r1", "r2", F.col("r").alias("r0"), F.lit("n").alias("kind"),
+                neg_r.alias("rr"), F.lit(0.0).alias("y"),
+                F.col("weight").alias("wgt"),
+            )
+        ).localCheckpoint(eager=True)
+    else:
+        pterms = None
+
+    def sig(x):
+        return 1.0 / (1.0 + F.exp(-F.greatest(F.least(x, F.lit(60.0)), F.lit(-60.0))))
+
+    for _ep in range(epochs):
+        e_at = lambda alias_col, nm: ent.select(
+            F.col("id").alias(alias_col), "k", F.col("val").alias(nm)
+        )
+        r_at = lambda alias_col, nm: rel.select(
+            F.col("id").alias(alias_col), "k", F.col("val").alias(nm)
+        )
+        td = (
+            terms.crossJoin(ks)
+            .join(e_at("h", "_eh"), ["h", "k"])
+            .join(r_at("r", "_rr"), ["r", "k"])
+            .join(e_at("tail", "_et"), ["tail", "k"])
+            .withColumn("d", F.col("_eh") + F.col("_rr") - F.col("_et"))
+        )
+        tkey = ["h", "r", "t0", "kind"]
+        ts = td.groupBy(*tkey).agg(F.sum(F.col("d") * F.col("d")).alias("S"))
+        tg = td.join(ts, tkey).withColumn(
+            "g",
+            F.lit(2.0 * lr)
+            * (sig(F.lit(bias) - 0.5 * F.col("S")) - F.col("y"))
+            * F.lit(-0.5)
+            * F.col("d"),
+        ).localCheckpoint(eager=True)
+        ent_contrib = tg.select(F.col("h").alias("id"), "k", (-F.col("g")).alias("g")).unionByName(
+            tg.select(F.col("tail").alias("id"), "k", F.col("g").alias("g"))
+        )
+        rel_contrib = tg.select(F.col("r").alias("id"), "k", (-F.col("g")).alias("g"))
+        if pterms is not None:
+            pd_ = (
+                pterms.crossJoin(ks)
+                .join(r_at("r1", "_a"), ["r1", "k"])
+                .join(r_at("r2", "_b"), ["r2", "k"])
+                .join(r_at("rr", "_c"), ["rr", "k"])
+                .withColumn("d", F.col("_a") + F.col("_b") - F.col("_c"))
+            )
+            pkey = ["r1", "r2", "r0", "kind"]
+            ps = pd_.groupBy(*pkey).agg(F.sum(F.col("d") * F.col("d")).alias("S"))
+            pg = pd_.join(ps, pkey).withColumn(
+                "g",
+                F.lit(2.0 * lr)
+                * F.col("wgt")
+                * (sig(F.lit(bias) - 0.5 * F.col("S")) - F.col("y"))
+                * F.lit(-0.5)
+                * F.col("d"),
+            ).localCheckpoint(eager=True)
+            rel_contrib = rel_contrib.unionByName(
+                pg.select(F.col("r1").alias("id"), "k", (-F.col("g")).alias("g"))
+            ).unionByName(
+                pg.select(F.col("r2").alias("id"), "k", (-F.col("g")).alias("g"))
+            ).unionByName(
+                pg.select(F.col("rr").alias("id"), "k", F.col("g").alias("g"))
+            )
+        eu = ent_contrib.groupBy("id", "k").agg(F.sum("g").alias("_g"))
+        ru = rel_contrib.groupBy("id", "k").agg(F.sum("g").alias("_g"))
+        ent = (
+            ent.join(eu, ["id", "k"], "left")
+            .select("id", "k", (F.col("val") - F.coalesce("_g", F.lit(0.0))).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+        rel = (
+            rel.join(ru, ["id", "k"], "left")
+            .select("id", "k", (F.col("val") - F.coalesce("_g", F.lit(0.0))).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    return ent, rel
+
+
+def add_energy_from_tables(
+    pairs: DataFrame, ent_df: DataFrame, rel_df: DataFrame, dim: int
+) -> DataFrame:
+    """True-L2 TransE energy from (id, k, val) embedding TABLES (join
+    form, no broadcast) — the scoring twin of ``fit_embeddings_fixed``:
+    at billion-entity vocab the energy join is the only route that never
+    materializes the model anywhere."""
+    spark = pairs.sparkSession
+    ks = spark.range(dim).select(F.col("id").cast("long").alias("k"))
+    cols = pairs.columns
+    d = (
+        pairs.crossJoin(ks)
+        .join(
+            ent_df.select(F.col("id").alias("h"), "k", F.col("val").alias("_eh")),
+            ["h", "k"],
+        )
+        .join(
+            rel_df.select(F.col("id").alias("r"), "k", F.col("val").alias("_rr")),
+            ["r", "k"],
+        )
+        .join(
+            ent_df.select(F.col("id").alias("t"), "k", F.col("val").alias("_et")),
+            ["t", "k"],
+        )
+        .withColumn("_d", F.col("_eh") + F.col("_rr") - F.col("_et"))
+    )
+    return d.groupBy(*cols).agg(
+        F.sqrt(F.sum(F.col("_d") * F.col("_d"))).alias("energy")
+    )

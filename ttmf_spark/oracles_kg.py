@@ -759,3 +759,158 @@ SELECT p,
        CAST(SUM(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM j GROUP BY p
 """
+
+
+def _hxp(prefix: str, cols: str) -> str:
+    """Portable 60-bit md5 hash with an arbitrary string seed prefix
+    (negatives._portable_hash md5 variant with a str seed)."""
+    parts = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols.split(","))
+    return f"('0x' || substr(md5('{prefix}' || '|' || {parts}), 1, 15))::BIGINT"
+
+
+def kg_ptranse_dev_loss_sql(
+    dim: int = 4,
+    epochs: int = 2,
+    lr: float = 0.01,
+    bias: float = 7.0,
+    seed: int = 42,
+    pair_seed: int = 17,
+    margin: float = 1.0,
+    max_out: int = 1000,
+    min_resource: float = 0.01,
+    n_attempts: int = 8,
+) -> str:
+    """Twin of q_kg_ptranse_dev_loss: the DETERMINISTIC full-batch
+    PTransE sweep (transe.fit_embeddings_fixed — triple terms + the
+    PCRA-weighted path-composition term) unrolled one CTE-block per
+    epoch, then the md5 tc-pair set scored with true-L2 energy and the
+    mean hinge. Both engines run the identical float64 recurrence from
+    identical hash-derived init/negatives, so values agree to ~1e-13
+    and ROUND(., 6) hashes identically — the kg_pagerank_fixed
+    portability contract applied to embedding TRAINING."""
+    scale = 10**12
+    wscale = 10**9
+    c2lr = repr(2.0 * lr)
+    sig = (
+        "(1.0 / (1.0 + EXP(-GREATEST(LEAST({x}, 60.0), -60.0))))"
+    )
+    parts = [
+        # PCRA path-triple table (kg_path_triples_sql body, as a CTE)
+        "pe AS MATERIALIZED (SELECT DISTINCT h, r, t FROM idt)",
+        "pod AS (SELECT h, r, COUNT(*) AS n FROM pe GROUP BY 1, 2)",
+        f"psrc AS MATERIALIZED (SELECT pe.h, pe.r, pe.t, pod.n FROM pe "
+        f"JOIN pod ON pod.h = pe.h AND pod.r = pe.r WHERE pod.n <= {max_out})",
+        f"pp2 AS MATERIALIZED (SELECT a.h, a.r AS r1, b.r AS r2, b.t, "
+        f"SUM({scale} // (a.n * b.n)) AS _s FROM psrc a JOIN psrc b "
+        f"ON b.h = a.t GROUP BY 1, 2, 3, 4 "
+        f"HAVING SUM({scale} // (a.n * b.n)) >= {int(min_resource * scale)})",
+        "pz AS (SELECT h, t, SUM(_s) AS _z FROM pp2 GROUP BY 1, 2)",
+        f"pw AS (SELECT pp2.h, pp2.t, pp2.r1, pp2.r2, "
+        f"CAST(ROUND(CAST(pp2._s AS DOUBLE) / CAST(pz._z AS DOUBLE) "
+        f"* {wscale}, 0) AS BIGINT) AS wfp "
+        f"FROM pp2 JOIN pz ON pz.h = pp2.h AND pz.t = pp2.t)",
+        f"pt AS MATERIALIZED (SELECT pw.r1, pw.r2, pe.r, "
+        f"ROUND(CAST(SUM(pw.wfp) AS DOUBLE) / {float(wscale)}, 6) AS weight "
+        f"FROM pw JOIN pe ON pe.h = pw.h AND pe.t = pw.t GROUP BY 1, 2, 3)",
+        # scalars + the dim axis
+        "nent AS (SELECT COUNT(*) AS c FROM ent)",
+        "nrel AS (SELECT COUNT(*) AS c FROM rel)",
+        f"ks AS (SELECT CAST(range AS BIGINT) AS k FROM range({dim}))",
+        # hash-uniform init in [-0.5, 0.5)
+        f"te0 AS MATERIALIZED (SELECT ent.id, ks.k, "
+        f"(({_hxp(f'fxe{seed}', 'ent.id,ks.k')}) % 1000000) / 1e6 - 0.5 AS val "
+        f"FROM ent CROSS JOIN ks)",
+        f"tr0 AS MATERIALIZED (SELECT rel.id, ks.k, "
+        f"(({_hxp(f'fxr{seed}', 'rel.id,ks.k')}) % 1000000) / 1e6 - 0.5 AS val "
+        f"FROM rel CROSS JOIN ks)",
+        # static term sets: pos + one hash-corrupted negative each
+        f"tt AS MATERIALIZED ("
+        f"SELECT h, r, t AS t0, 'p' AS kind, t AS tail, 1.0 AS y FROM idt "
+        f"UNION ALL SELECT h, r, t, 'n', "
+        f"({_hxp(f'fxnt{seed}', 'h,r,t')}) % nent.c, 0.0 FROM idt, nent)",
+        f"ptm AS MATERIALIZED ("
+        f"SELECT r1, r2, r AS r0, 'p' AS kind, r AS rr, 1.0 AS y, "
+        f"weight AS wgt FROM pt "
+        f"UNION ALL SELECT r1, r2, r, 'n', "
+        f"({_hxp(f'fxnr{seed}', 'r1,r2,r')}) % nrel.c, 0.0, weight "
+        f"FROM pt, nrel)",
+    ]
+    for i in range(1, epochs + 1):
+        j = i - 1
+        parts += [
+            f"td{i} AS MATERIALIZED (SELECT tt.h, tt.r, tt.t0, tt.kind, "
+            f"tt.tail, tt.y, ks.k, eh.val + rh.val - et.val AS d "
+            f"FROM tt CROSS JOIN ks "
+            f"JOIN te{j} eh ON eh.id = tt.h AND eh.k = ks.k "
+            f"JOIN tr{j} rh ON rh.id = tt.r AND rh.k = ks.k "
+            f"JOIN te{j} et ON et.id = tt.tail AND et.k = ks.k)",
+            f"tsum{i} AS (SELECT h, r, t0, kind, SUM(d * d) AS S "
+            f"FROM td{i} GROUP BY 1, 2, 3, 4)",
+            f"tg{i} AS MATERIALIZED (SELECT td.h, td.r, td.t0, td.kind, "
+            f"td.tail, td.k, {c2lr} * "
+            f"({sig.format(x=f'{bias!r} - 0.5 * ts.S')} - td.y) * (-0.5) * td.d AS g "
+            f"FROM td{i} td JOIN tsum{i} ts ON ts.h = td.h AND ts.r = td.r "
+            f"AND ts.t0 = td.t0 AND ts.kind = td.kind)",
+            f"pd{i} AS MATERIALIZED (SELECT ptm.r1, ptm.r2, ptm.r0, "
+            f"ptm.kind, ptm.rr, ptm.y, ptm.wgt, ks.k, "
+            f"ra.val + rb.val - rc.val AS d "
+            f"FROM ptm CROSS JOIN ks "
+            f"JOIN tr{j} ra ON ra.id = ptm.r1 AND ra.k = ks.k "
+            f"JOIN tr{j} rb ON rb.id = ptm.r2 AND rb.k = ks.k "
+            f"JOIN tr{j} rc ON rc.id = ptm.rr AND rc.k = ks.k)",
+            f"psum{i} AS (SELECT r1, r2, r0, kind, SUM(d * d) AS S "
+            f"FROM pd{i} GROUP BY 1, 2, 3, 4)",
+            f"pg{i} AS MATERIALIZED (SELECT pd.r1, pd.r2, pd.r0, pd.kind, "
+            f"pd.rr, pd.k, {c2lr} * pd.wgt * "
+            f"({sig.format(x=f'{bias!r} - 0.5 * ps.S')} - pd.y) * (-0.5) * pd.d AS g "
+            f"FROM pd{i} pd JOIN psum{i} ps ON ps.r1 = pd.r1 "
+            f"AND ps.r2 = pd.r2 AND ps.r0 = pd.r0 AND ps.kind = pd.kind)",
+            f"te{i} AS MATERIALIZED (SELECT b.id, b.k, "
+            f"b.val - COALESCE(u.g, 0.0) AS val FROM te{j} b LEFT JOIN ("
+            f"SELECT id, k, SUM(g) AS g FROM ("
+            f"SELECT h AS id, k, -g AS g FROM tg{i} "
+            f"UNION ALL SELECT tail AS id, k, g AS g FROM tg{i}) q "
+            f"GROUP BY 1, 2) u ON u.id = b.id AND u.k = b.k)",
+            f"tr{i} AS MATERIALIZED (SELECT b.id, b.k, "
+            f"b.val - COALESCE(u.g, 0.0) AS val FROM tr{j} b LEFT JOIN ("
+            f"SELECT id, k, SUM(g) AS g FROM ("
+            f"SELECT r AS id, k, -g AS g FROM tg{i} "
+            f"UNION ALL SELECT r1 AS id, k, -g AS g FROM pg{i} "
+            f"UNION ALL SELECT r2 AS id, k, -g AS g FROM pg{i} "
+            f"UNION ALL SELECT rr AS id, k, g AS g FROM pg{i}) q "
+            f"GROUP BY 1, 2) u ON u.id = b.id AND u.k = b.k)",
+        ]
+    # md5 tc-pair set over the SAME idt (kg_tc_pairs_sql construction)
+    def att(i: int) -> str:
+        hx = _hxp(str(pair_seed + 1 + i), "nb.h,nb.r,nb.t")
+        return (
+            f"CASE WHEN {hx} % nent.c <> nb.h AND {hx} % nent.c <> nb.t "
+            f"THEN {hx} % nent.c END"
+        )
+
+    cand = ", ".join(att(i) for i in range(n_attempts))
+    parts += [
+        f"nb AS (SELECT h, r, t, {_hxp(str(pair_seed), 'h,r,t')} "
+        f"% {1 << 61} AS row_h FROM idt)",
+        f"ncand AS (SELECT nb.h, nb.r, nb.t, nb.row_h, "
+        f"(nb.row_h % 2 = 0) AS side, COALESCE({cand}, "
+        f"(nb.h + 1) % nent.c) AS neg FROM nb, nent)",
+        "tc AS (SELECT h, t, r, 1 AS flag, row_h * 2 AS seq FROM ncand "
+        "UNION ALL SELECT CASE WHEN side THEN neg ELSE h END, "
+        "CASE WHEN side THEN t ELSE neg END, r, -1, row_h * 2 + 1 FROM ncand)",
+        f"en AS MATERIALIZED (SELECT tc.seq, tc.flag, "
+        f"SQRT(SUM((eh.val + rh.val - et.val) * (eh.val + rh.val - et.val))) "
+        f"AS energy FROM tc CROSS JOIN ks "
+        f"JOIN te{epochs} eh ON eh.id = tc.h AND eh.k = ks.k "
+        f"JOIN tr{epochs} rh ON rh.id = tc.r AND rh.k = ks.k "
+        f"JOIN te{epochs} et ON et.id = tc.t AND et.k = ks.k "
+        f"GROUP BY tc.seq, tc.flag)",
+        "hp AS (SELECT seq // 2 AS kk, energy AS e_pos FROM en WHERE flag = 1)",
+        "hn AS (SELECT (seq - 1) // 2 AS kk, energy AS e_neg FROM en "
+        "WHERE flag = -1)",
+    ]
+    return (
+        f"WITH {KG_AUG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
+        f"SELECT ROUND(AVG(GREATEST({margin!r} + e_pos - e_neg, 0.0)), 6) "
+        f"AS dev_loss FROM hp JOIN hn ON hp.kk = hn.kk"
+    )

@@ -410,26 +410,27 @@ def q_kg_path_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_ptranse_dev_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: A10 dev hinge loss over PCRA-path-trained PTransE
-    embeddings on the shortcut-augmented KG — train_ptranse with the
-    pcra_path_triples table wired into the objective (the trainable part
-    is not SQL-expressible; the hinge operator and the path table ARE,
-    gated via kg_dev_loss / kg_path_triples). Reduced epoch budget: this
-    evidences the wiring, the full-budget fit shape is pytest-pinned
-    (tests/test_kg.py)."""
+    """A10 dev hinge loss over PTransE embeddings trained with the PCRA
+    path-composition term (Lin et al. 2015; PTransE.java:373-394
+    restored) — now HASH-GATED end-to-end: the deterministic full-batch
+    sweep (transe.fit_embeddings_fixed, dim=4, 2 epochs, hash init +
+    hash negatives, triple terms + weighted path terms) is the
+    fixed-iteration twin of the SGD trainer exactly as kg_pagerank_fixed
+    twins the PageRank fixpoint, so the DuckDB oracle replays the whole
+    TRAINING recurrence (oracles_kg.kg_ptranse_dev_loss_sql). The
+    production SGD/path-epoch trainers remain pytest-pinned
+    (tests/test_kg.py PTransE battery)."""
     idt, e_dim = _id_triples_aug(spark, sf_dir)
+    idt = idt.distinct()  # oracle's idt is distinct (KG_AUG_BASE)
     n_ent = e_dim.count()
     n_rel = int(idt.agg(F.max("r")).first()[0]) + 1
-    paths_np, weights_np = transe.collect_path_triples(
-        graph.pcra_path_triples(idt, max_out=1000, min_resource=0.01)
+    pt = graph.pcra_path_triples(idt, max_out=1000, min_resource=0.01)
+    ent, rel = transe.fit_embeddings_fixed(
+        spark, idt, n_ent, n_rel, paths=pt, dim=4, epochs=2,
+        lr=0.01, bias=7.0, seed=42,
     )
-    ent, rel = transe.fit_embeddings_from_df(
-        idt, n_ent, n_rel, seed=42, kernel="ptranse",
-        paths=paths_np, path_weights=weights_np, epochs=3, n_neg=2,
-    )
-    energy = transe.transe_energy_col(spark, ent, rel)
     pairs = negatives.tc_pairs_ids(idt, n_ent, seed=17, hash_fn="md5")
-    pairs = transe.add_transe_energy(pairs, energy)
+    pairs = transe.add_energy_from_tables(pairs, ent, rel, dim=4)
     out = transe.dev_hinge_loss(pairs, margin=1.0)
     return out.select(F.round("dev_loss", 6).alias("dev_loss"))
 
