@@ -1241,3 +1241,75 @@ def test_enumerate_paths_batched_slices_and_resume(spark, tmp_path):
     got_capped = sorted(map(tuple, capped.collect()))
     want_no_hub = [w for w in want if w[0] != 1000]
     assert got_capped == want_no_hub
+
+
+def test_enumerate_paths_batched_crash_window_duplicates_never_loss(
+    spark, tmp_path
+):
+    """G5 durability note made executable (paths.py: "the parquet
+    fallback orders paths-first so the failure mode is duplicates,
+    never silent loss"): simulate a crash in the resume branch BETWEEN
+    the paths-append and the heads-append, verify (a) the inconsistency
+    is detectable exactly as documented (distinct heads in the path
+    table vs the head table), (b) the next resume re-enumerates that
+    batch and the result's DISTINCT row set equals the full enumeration
+    (duplicates, never loss). Production swaps the append pair for one
+    Iceberg transaction; no Iceberg runtime ships in this sandbox, so
+    the crash-window ordering contract is what gets pinned."""
+    from ttmf_spark.checkpoint import StageStore
+    from ttmf_spark.kg import paths as P
+
+    edges = spark.createDataFrame(
+        [(k, 100 + k, 0) for k in range(6)]
+        + [(100 + k, 200 + k, 1) for k in range(6)],
+        ["src", "dst", "r"],
+    )
+    seeds = spark.createDataFrame([(k,) for k in range(6)], ["h"])
+    store = StageStore(str(tmp_path / "ck"))
+    n_slices = 4
+    P.enumerate_paths_batched(edges, seeds, store, n_slices=n_slices)
+
+    # grown input: head 7 arrives
+    edges2 = edges.unionByName(
+        spark.createDataFrame([(7, 107, 0), (107, 207, 1)], ["src", "dst", "r"])
+    )
+    seeds2 = seeds.unionByName(spark.createDataFrame([(7,)], ["h"]))
+    want2 = P.enumerate_paths(edges2, seeds2).collect()
+
+    # simulate the crash window: replay the resume branch's FIRST append
+    # (paths) for head 7's slice, then "crash" before the heads-append
+    s7 = spark.createDataFrame([(7,)], ["h"]).select(
+        F.pmod(F.xxhash64("h"), F.lit(n_slices)).alias("s")
+    ).first()["s"]
+    pname, hname = f"paths_s{s7:04d}", f"paths_s{s7:04d}_heads"
+    new_head = spark.createDataFrame([(7,)], ["h"])
+    P.enumerate_paths(edges2, new_head).write.mode("append").parquet(
+        store.path(pname)
+    )
+    # (a) the torn state is detectable exactly as documented
+    path_heads = {
+        r["h"] for r in
+        spark.read.parquet(store.path(pname)).select("h").distinct().collect()
+    }
+    done_heads = {
+        r["h"] for r in spark.read.parquet(store.path(hname)).collect()
+    }
+    assert path_heads - done_heads == {7}
+
+    # (b) resume after the crash: head 7 re-enumerates (head table never
+    # saw it), its rows duplicate, nothing is lost
+    def _t(row):
+        return tuple(tuple(v) if isinstance(v, list) else v for v in row)
+
+    got = P.enumerate_paths_batched(
+        edges2, seeds2, store, n_slices=n_slices
+    ).collect()
+    assert sorted(set(map(_t, got))) == sorted(set(map(_t, want2)))  # never loss
+    dup_rows = [r for r in got if r["h"] == 7]
+    base_rows = [r for r in want2 if r["h"] == 7]
+    assert len(dup_rows) == 2 * len(base_rows)  # the duplicates
+    # and the head table is consistent again after the healed resume
+    done_after = {
+        r["h"] for r in spark.read.parquet(store.path(hname)).collect()
+    }
+    assert 7 in done_after
