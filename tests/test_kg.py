@@ -1313,3 +1313,65 @@ def test_enumerate_paths_batched_crash_window_duplicates_never_loss(
         r["h"] for r in spark.read.parquet(store.path(hname)).collect()
     }
     assert 7 in done_after
+
+
+def test_fit_embeddings_fixed_partition_invariance_and_energy_tables(spark):
+    """The deterministic full-batch trainer (transe.fit_embeddings_fixed,
+    the kg_ptranse_dev_loss gate): (a) values are partition-invariant to
+    float-sum reassociation (~1e-13) — repartitioned input trains to the
+    same model; (b) path terms actually move relation vectors (the
+    PTransE composition term is live); (c) add_energy_from_tables on the
+    trained tables equals the broadcast numpy energy UDF on the same
+    vectors."""
+    import numpy as np
+
+    from ttmf_spark.kg import transe as T
+
+    trips = [(0, 0, 1), (1, 0, 2), (0, 1, 2), (2, 1, 3), (3, 0, 4), (4, 1, 0)]
+    idt = spark.createDataFrame(trips, "h long, r long, t long")
+    pt = spark.createDataFrame(
+        [(0, 0, 1, 0.75), (0, 1, 0, 0.25)],
+        "r1 long, r2 long, r long, weight double",
+    )
+    n_ent, n_rel, dim = 5, 2, 3
+
+    def fit(df, paths):
+        e, r = T.fit_embeddings_fixed(
+            spark, df, n_ent, n_rel, paths=paths, dim=dim, epochs=2
+        )
+        em = {(x.id, x.k): x.val for x in e.collect()}
+        rm = {(x.id, x.k): x.val for x in r.collect()}
+        return em, rm
+
+    e1, r1 = fit(idt, pt)
+    e2, r2 = fit(idt.repartition(7), pt.repartition(3))
+    assert e1.keys() == e2.keys() and r1.keys() == r2.keys()
+    assert all(abs(e1[k] - e2[k]) < 1e-12 for k in e1)
+    assert all(abs(r1[k] - r2[k]) < 1e-12 for k in r1)
+
+    # (b) the path-composition term is live: rel vectors move without it
+    _, r_nopath = fit(idt, None)
+    assert any(abs(r1[k] - r_nopath[k]) > 1e-9 for k in r1)
+
+    # (c) table-join energy == broadcast numpy energy on the same model
+    ent_np = np.zeros((n_ent, dim))
+    rel_np = np.zeros((n_rel, dim))
+    for (i, k), v in e1.items():
+        ent_np[i, k] = v
+    for (i, k), v in r1.items():
+        rel_np[i, k] = v
+    ent_df, rel_df = T.fit_embeddings_fixed(
+        spark, idt, n_ent, n_rel, paths=pt, dim=dim, epochs=2
+    )
+    q = idt.select("h", "r", "t")
+    via_tables = {
+        (x.h, x.r, x.t): x.energy
+        for x in T.add_energy_from_tables(q, ent_df, rel_df, dim).collect()
+    }
+    udf = T.transe_energy_col(spark, ent_np, rel_np)
+    via_udf = {
+        (x.h, x.r, x.t): x.energy
+        for x in T.add_transe_energy(q, udf).collect()
+    }
+    assert via_tables.keys() == via_udf.keys()
+    assert all(abs(via_tables[k] - via_udf[k]) < 1e-10 for k in via_tables)

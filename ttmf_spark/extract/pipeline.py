@@ -219,8 +219,12 @@ def resupport_after_merge(
     ).distinct()
     # new keys K: every key the relabeled rows land on. Untouched rows
     # already ON those keys must join the recount (their counts merge
-    # with the incomers and may share witness docs).
-    new_keys = F.broadcast(relabeled.select("s", "p", "o").distinct())
+    # with the incomers and may share witness docs). Unlike the remap
+    # (alias-batch-bounded, safe to force-broadcast above), K is
+    # AFFECTED-SUBGRAPH-bounded — a hub-entity merge can make it huge —
+    # so its joins are left to AQE (broadcast when small, shuffle-hash
+    # when not).
+    new_keys = relabeled.select("s", "p", "o").distinct()
     collide = untouched.join(new_keys, ["s", "p", "o"], "left_semi")
     refit = relabeled.unionByName(collide).distinct()
     new_support_rows = _support_agg(refit)
@@ -234,7 +238,7 @@ def resupport_after_merge(
         .distinct()
     )
     support = existing.join(
-        F.broadcast(drop_keys), ["s", "p", "o"], "left_anti"
+        drop_keys, ["s", "p", "o"], "left_anti"
     ).unionByName(new_support_rows)
 
     # maintained doc-level state: untouched rows off K keep themselves;

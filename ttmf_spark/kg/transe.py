@@ -1048,13 +1048,14 @@ def fit_embeddings_fixed(
 
     Scale notes: this is ALSO the most scalable trainer shape — model
     state never leaves the cluster (no |V|-sized driver array, no
-    broadcast), updates are joins + one groupBy per epoch, and
-    determinism survives any partitioning because every aggregation is
-    a plain float64 sum over a content-keyed set. The tradeoff is
-    optimizer quality (full-batch GD needs more epochs than SGD), which
-    is why the SGD trainers remain the production route; this one is
-    the verifiable-numerics route and the driver gate for the PTransE
-    path-composition wiring.
+    broadcast), updates are joins + one groupBy per epoch. Under a
+    different partitioning the per-key float64 sums reassociate, so
+    values agree to ~1e-13 rather than bit-exactly (pytest-pinned);
+    the gated output rounds to 6 decimals, far above that noise. The
+    tradeoff is optimizer quality (full-batch GD needs more epochs
+    than SGD), which is why the SGD trainers remain the production
+    route; this one is the verifiable-numerics route and the driver
+    gate for the PTransE path-composition wiring.
     """
     from ttmf_spark.kg.negatives import _portable_hash
 
