@@ -136,6 +136,51 @@ def test_score_triples_crisscross_end_to_end(spark):
     assert pos > neg, (pos, neg)
 
 
+def test_add_confidence_gather_parity(spark):
+    """Billion-vocab gather route == broadcast route, per (h, r, t).
+
+    Same fitted model, same query frame; the gather route receives the
+    embeddings as (id, vec) tables (fit_embeddings_table's output form)
+    and must reproduce the broadcast route's confidences — the only
+    difference allowed is which executors hold which embedding rows."""
+    from tests.test_kg import TINY_TRIPLES
+    from ttmf_spark.kg.pipeline import build_context, fit_fusion, score_ids
+
+    tiny = spark.createDataFrame(TINY_TRIPLES, ["s", "p", "o"])
+    ctx, model = build_context(spark, tiny, transe_kw={"epochs": 5})
+    model = fit_fusion(ctx, model, kind="crisscross")
+    q = ctx.dev_pairs.select("h", "r", "t", "flag")
+    key = ["h", "r", "t", "flag"]
+    base = (
+        score_ids(spark, ctx, model, q)
+        .select(*key, "conf")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    ent_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(model.p_ent)],
+        "id long, vec array<double>",
+    )
+    rel_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(model.p_rel)],
+        "id long, vec array<double>",
+    )
+    got = (
+        score_ids(spark, ctx, model, q, emb_tables=(ent_df, rel_df))
+        .select(*key, "conf")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(base) == len(got) > 0
+    for c in key:
+        np.testing.assert_array_equal(base[c].to_numpy(), got[c].to_numpy())
+    np.testing.assert_allclose(
+        base["conf"].to_numpy(), got["conf"].to_numpy(), rtol=1e-10, atol=1e-12
+    )
+
+
 def test_fit_max_steps_budget_and_determinism():
     """max_steps bounds total minibatch updates (the bench tier's
     wall-time knob): a 3-step budget returns a valid, deterministic

@@ -43,6 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ttmf_spark.kg.paths import MAX_EDGES, MAX_P
 
@@ -492,6 +493,134 @@ def crisscross_udf(spark, params: dict, ent: np.ndarray, rel: np.ndarray):
 def add_confidence(features_df: DataFrame, conf_udf) -> DataFrame:
     return features_df.withColumn(
         "conf", conf_udf(*[F.col(c) for c in CC_INPUT_COLS])
+    )
+
+
+def add_confidence_gather(
+    features_df: DataFrame,
+    params: dict,
+    ent_df: DataFrame,
+    rel_df: DataFrame,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Billion-vocab inference route: no vocab-sized broadcast.
+
+    ``add_confidence``/``crisscross_udf`` broadcast the full frozen
+    (vocab x dim) entity/relation matrices — correct at the reference's
+    1e5 vocab (KGE_config_template.properties:6) but the same wall the
+    M4 table trainer removed once the corpus vocab outgrows executor
+    memory. This route keeps the embeddings as (id, vec) DataFrames
+    (``fit_embeddings_table``'s output form) and ships each inference
+    shard ONLY the rows it touches, via the same plan->gather->cogroup
+    shape as the table trainer (transe.py:729):
+
+      1. shard:  rows hash on (h, t, r) — uniform regardless of hot
+                 entities; a hub's vector is duplicated at most
+                 n_shards times, never |V|;
+      2. plan:   per shard, the distinct entity ids used (h, t, every
+                 path token) and relation ids (r, path relation
+                 tokens), integers only — bounded by the shard's row
+                 count x path width, never |V|;
+      3. gather: plan JOIN (id, vec) — the parameter pull;
+      4. infer:  cogrouped applyInPandas builds a compact local
+                 (ids -> rows) block per shard, remaps indices, and
+                 runs the SAME ``_forward_infer`` kernel.
+
+    Id 0 is force-included in every shard's plan and, because vocab ids
+    are non-negative and the local block is sorted ascending, global id
+    0 remaps to local index 0 — preserving the Keras mask-zero
+    semantics (a timestep is skipped iff any path token is the pad id
+    0, Model1.py:82-85 / PrecessData.py:189-192) bit-for-bit. Parity
+    with the broadcast route is pinned by pytest
+    (test_crisscross.py::test_add_confidence_gather_parity).
+    """
+    spark = features_df.sparkSession
+    if n_shards is None:
+        n_shards = 2 * spark.sparkContext.defaultParallelism
+    b_params = spark.sparkContext.broadcast(params)
+
+    feats = features_df.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64("h", "t", "r"), F.lit(n_shards)).cast("int"),
+    )
+    ent_tokens = [
+        F.col(f"path{k}_{nm}").cast("array<long>")
+        for k in range(1, MAX_P + 1)
+        for nm in ("h", "t")
+    ]
+    rel_tokens = [
+        F.col(f"path{k}_r").cast("array<long>") for k in range(1, MAX_P + 1)
+    ]
+    scalar_e = F.array(
+        F.col("h").cast("long"), F.col("t").cast("long"), F.lit(0).cast("long")
+    )
+    scalar_r = F.array(F.col("r").cast("long"), F.lit(0).cast("long"))
+    # fresh key name on the gather side: both cogroup inputs descend
+    # from `feats`, and a shared `_shard` attribute would be ambiguous
+    plan_e = feats.select(
+        F.col("_shard").alias("_gshard"),
+        F.explode(F.array_distinct(F.concat(scalar_e, *ent_tokens))).alias("id"),
+    ).distinct()
+    plan_r = feats.select(
+        F.col("_shard").alias("_gshard"),
+        F.explode(F.array_distinct(F.concat(scalar_r, *rel_tokens))).alias("id"),
+    ).distinct()
+    gathered = plan_e.join(ent_df, "id").select(
+        "_gshard", "id", "vec", F.lit("e").alias("kind")
+    ).unionByName(
+        plan_r.join(rel_df, "id").select(
+            "_gshard", "id", "vec", F.lit("r").alias("kind")
+        )
+    )
+
+    out_cols = [f.name for f in features_df.schema.fields]
+    out_schema = StructType(
+        list(features_df.schema.fields) + [StructField("conf", DoubleType())]
+    )
+
+    def _infer(key, fpdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        fpdf = fpdf[out_cols]
+        if not len(fpdf):
+            return fpdf.assign(conf=np.zeros(0))
+        p = b_params.value
+
+        def block(kind: str) -> tuple[np.ndarray, np.ndarray]:
+            sub = epdf[epdf["kind"] == kind]
+            ids = sub["id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            return ids[order], np.stack(sub["vec"].to_numpy()[order]).astype(
+                np.float64
+            )
+
+        eids, E_loc = block("e")
+        rids, R_loc = block("r")
+
+        def remap(sorted_ids: np.ndarray, arr: np.ndarray) -> np.ndarray:
+            idx = np.minimum(
+                np.searchsorted(sorted_ids, arr), len(sorted_ids) - 1
+            )
+            if not np.array_equal(sorted_ids[idx], arr):
+                missing = np.unique(np.asarray(arr)[sorted_ids[idx] != arr])
+                raise ValueError(
+                    f"embedding table missing rows for ids {missing[:10]}"
+                )
+            return idx
+
+        batch = batch_from_pandas(fpdf)
+        for nm in ("h", "t"):
+            batch[nm] = remap(eids, batch[nm])
+        batch["r"] = remap(rids, batch["r"])
+        for k in range(1, MAX_P + 1):
+            batch[f"p{k}_h"] = remap(eids, batch[f"p{k}_h"])
+            batch[f"p{k}_t"] = remap(eids, batch[f"p{k}_t"])
+            batch[f"p{k}_r"] = remap(rids, batch[f"p{k}_r"])
+        probs = _forward_infer(batch, p, (E_loc, R_loc))
+        return fpdf.assign(conf=probs[:, 1])
+
+    return (
+        feats.groupBy("_shard")
+        .cogroup(gathered.groupBy("_gshard"))
+        .applyInPandas(_infer, schema=out_schema)
     )
 
 

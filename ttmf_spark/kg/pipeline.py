@@ -267,8 +267,15 @@ def score_ids(
     model: TTMFModel,
     query: DataFrame,
     infer_partitions: int | str | None = "auto",
+    emb_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Attach the fused ``conf`` column to an id-triple query frame.
+
+    ``emb_tables`` (ent_df, rel_df of (id, vec)) routes crisscross
+    inference through ``add_confidence_gather`` — the billion-vocab
+    path that ships each shard only the embedding rows it touches
+    instead of broadcasting the full matrices (pairs with
+    ``fit_embeddings_table``, whose entity output is already a table).
 
     ``infer_partitions`` sizes the inference stage's parallelism
     ("auto" = 2x defaultParallelism; None = inherit upstream). This
@@ -290,6 +297,12 @@ def score_ids(
     feats = attach_features(ctx, query)
     if model.fusion_kind == "crisscross":
         feats = paths.path_features(feats, ctx.ranked_paths)
+        if emb_tables is not None:
+            # gather route shards itself (hash on (h, t, r)); the
+            # cogroup exchange replaces the CPU repartition
+            return crisscross.add_confidence_gather(
+                feats, model.fusion_weights, *emb_tables
+            )
         if infer_partitions:
             feats = feats.repartition(infer_partitions)
         udf = crisscross.crisscross_udf(
