@@ -261,6 +261,33 @@ def test_fit_distributed_partition_invariant_and_learns(spark):
     assert ce(p1) < ce(init)
 
 
+def test_fit_distributed_gather_route_parity(spark):
+    """emb_tables gather route == broadcast route, bit-for-bit.
+
+    Same seed/shards/budget; the only difference is how the frozen
+    embeddings reach the shard tasks (one-time broadcast vs per-shard
+    plan->gather->cogroup slices). The monotonic local remap after the
+    content sort must leave the Adam trajectory — and the holdout
+    early-stop decisions — unchanged."""
+    feats, E, R = _feats_df(spark)
+    kw = dict(lr=1e-2, mb=32, epochs=4, n_shards=5, dropout=False,
+              val_cap=12)
+    base = cc.fit_crisscross_distributed(feats, E, R, **kw)
+    ent_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(E)],
+        "id long, vec array<double>",
+    )
+    rel_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(R)],
+        "id long, vec array<double>",
+    )
+    got = cc.fit_crisscross_distributed(
+        feats, None, None, emb_tables=(ent_df, rel_df), **kw
+    )
+    for k in cc._delta_keys(base):
+        assert np.array_equal(np.asarray(base[k]), np.asarray(got[k])), k
+
+
 def test_score_triples_crisscross_distributed_end_to_end(spark):
     """kind='crisscross' with driver_max_rows=0 SIZE-ROUTES the M6 fit to
     fit_crisscross_distributed (any labeled set is 'too big'), training

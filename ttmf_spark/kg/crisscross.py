@@ -496,6 +496,84 @@ def add_confidence(features_df: DataFrame, conf_udf) -> DataFrame:
     )
 
 
+def _emb_block(epdf: pd.DataFrame, kind: str) -> tuple[np.ndarray, np.ndarray]:
+    """Gathered (id, vec, kind) rows -> (sorted ids, row-aligned matrix).
+
+    Ascending id sort + non-negative vocab ids + id 0 force-included in
+    every plan ⇒ global id 0 is always local index 0, preserving the
+    mask-zero semantics across the remap."""
+    sub = epdf[epdf["kind"] == kind]
+    ids = sub["id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    return ids[order], np.stack(sub["vec"].to_numpy()[order]).astype(np.float64)
+
+
+def _remap_ids(sorted_ids: np.ndarray, arr: np.ndarray) -> np.ndarray:
+    idx = np.minimum(np.searchsorted(sorted_ids, arr), len(sorted_ids) - 1)
+    if not np.array_equal(sorted_ids[idx], arr):
+        missing = np.unique(np.asarray(arr)[sorted_ids[idx] != arr])
+        raise ValueError(f"embedding table missing rows for ids {missing[:10]}")
+    return idx
+
+
+def _remap_batch(batch: dict, eids: np.ndarray, rids: np.ndarray) -> dict:
+    """Remap a numpy batch's global entity/relation ids to local block
+    indices (monotonic — searchsorted into an ascending id list — so any
+    content sort taken on global ids is preserved)."""
+    out = dict(batch)
+    for nm in ("h", "t"):
+        out[nm] = _remap_ids(eids, batch[nm])
+    out["r"] = _remap_ids(rids, batch["r"])
+    for k in range(1, MAX_P + 1):
+        out[f"p{k}_h"] = _remap_ids(eids, batch[f"p{k}_h"])
+        out[f"p{k}_t"] = _remap_ids(eids, batch[f"p{k}_t"])
+        out[f"p{k}_r"] = _remap_ids(rids, batch[f"p{k}_r"])
+    return out
+
+
+def _gather_emb_frame(
+    feats: DataFrame,
+    ent_df: DataFrame,
+    rel_df: DataFrame,
+    shard_col: str,
+    key_alias: str,
+) -> DataFrame:
+    """Per-shard embedding pull: (key_alias, id, vec, kind['e'|'r']).
+
+    The plan (distinct ids each shard touches: h, t, r, every path
+    token, plus the force-included pad id 0) is integers only, bounded
+    by shard rows x path width — never |V|. ``key_alias`` must differ
+    from ``shard_col`` because the result is cogrouped against
+    ``feats`` itself (shared lineage would make the key ambiguous)."""
+    ent_tokens = [
+        F.col(f"path{k}_{nm}").cast("array<long>")
+        for k in range(1, MAX_P + 1)
+        for nm in ("h", "t")
+    ]
+    rel_tokens = [
+        F.col(f"path{k}_r").cast("array<long>") for k in range(1, MAX_P + 1)
+    ]
+    scalar_e = F.array(
+        F.col("h").cast("long"), F.col("t").cast("long"), F.lit(0).cast("long")
+    )
+    scalar_r = F.array(F.col("r").cast("long"), F.lit(0).cast("long"))
+    plan_e = feats.select(
+        F.col(shard_col).alias(key_alias),
+        F.explode(F.array_distinct(F.concat(scalar_e, *ent_tokens))).alias("id"),
+    ).distinct()
+    plan_r = feats.select(
+        F.col(shard_col).alias(key_alias),
+        F.explode(F.array_distinct(F.concat(scalar_r, *rel_tokens))).alias("id"),
+    ).distinct()
+    return plan_e.join(ent_df, "id").select(
+        key_alias, "id", "vec", F.lit("e").alias("kind")
+    ).unionByName(
+        plan_r.join(rel_df, "id").select(
+            key_alias, "id", "vec", F.lit("r").alias("kind")
+        )
+    )
+
+
 def add_confidence_gather(
     features_df: DataFrame,
     params: dict,
@@ -543,35 +621,7 @@ def add_confidence_gather(
         "_shard",
         F.pmod(F.xxhash64("h", "t", "r"), F.lit(n_shards)).cast("int"),
     )
-    ent_tokens = [
-        F.col(f"path{k}_{nm}").cast("array<long>")
-        for k in range(1, MAX_P + 1)
-        for nm in ("h", "t")
-    ]
-    rel_tokens = [
-        F.col(f"path{k}_r").cast("array<long>") for k in range(1, MAX_P + 1)
-    ]
-    scalar_e = F.array(
-        F.col("h").cast("long"), F.col("t").cast("long"), F.lit(0).cast("long")
-    )
-    scalar_r = F.array(F.col("r").cast("long"), F.lit(0).cast("long"))
-    # fresh key name on the gather side: both cogroup inputs descend
-    # from `feats`, and a shared `_shard` attribute would be ambiguous
-    plan_e = feats.select(
-        F.col("_shard").alias("_gshard"),
-        F.explode(F.array_distinct(F.concat(scalar_e, *ent_tokens))).alias("id"),
-    ).distinct()
-    plan_r = feats.select(
-        F.col("_shard").alias("_gshard"),
-        F.explode(F.array_distinct(F.concat(scalar_r, *rel_tokens))).alias("id"),
-    ).distinct()
-    gathered = plan_e.join(ent_df, "id").select(
-        "_gshard", "id", "vec", F.lit("e").alias("kind")
-    ).unionByName(
-        plan_r.join(rel_df, "id").select(
-            "_gshard", "id", "vec", F.lit("r").alias("kind")
-        )
-    )
+    gathered = _gather_emb_frame(feats, ent_df, rel_df, "_shard", "_gshard")
 
     out_cols = [f.name for f in features_df.schema.fields]
     out_schema = StructType(
@@ -582,39 +632,10 @@ def add_confidence_gather(
         fpdf = fpdf[out_cols]
         if not len(fpdf):
             return fpdf.assign(conf=np.zeros(0))
-        p = b_params.value
-
-        def block(kind: str) -> tuple[np.ndarray, np.ndarray]:
-            sub = epdf[epdf["kind"] == kind]
-            ids = sub["id"].to_numpy(dtype=np.int64)
-            order = np.argsort(ids)
-            return ids[order], np.stack(sub["vec"].to_numpy()[order]).astype(
-                np.float64
-            )
-
-        eids, E_loc = block("e")
-        rids, R_loc = block("r")
-
-        def remap(sorted_ids: np.ndarray, arr: np.ndarray) -> np.ndarray:
-            idx = np.minimum(
-                np.searchsorted(sorted_ids, arr), len(sorted_ids) - 1
-            )
-            if not np.array_equal(sorted_ids[idx], arr):
-                missing = np.unique(np.asarray(arr)[sorted_ids[idx] != arr])
-                raise ValueError(
-                    f"embedding table missing rows for ids {missing[:10]}"
-                )
-            return idx
-
-        batch = batch_from_pandas(fpdf)
-        for nm in ("h", "t"):
-            batch[nm] = remap(eids, batch[nm])
-        batch["r"] = remap(rids, batch["r"])
-        for k in range(1, MAX_P + 1):
-            batch[f"p{k}_h"] = remap(eids, batch[f"p{k}_h"])
-            batch[f"p{k}_t"] = remap(eids, batch[f"p{k}_t"])
-            batch[f"p{k}_r"] = remap(rids, batch[f"p{k}_r"])
-        probs = _forward_infer(batch, p, (E_loc, R_loc))
+        eids, E_loc = _emb_block(epdf, "e")
+        rids, R_loc = _emb_block(epdf, "r")
+        batch = _remap_batch(batch_from_pandas(fpdf), eids, rids)
+        probs = _forward_infer(batch, b_params.value, (E_loc, R_loc))
         return fpdf.assign(conf=probs[:, 1])
 
     return (
@@ -631,15 +652,77 @@ def _delta_keys(params: dict) -> list[str]:
     ]
 
 
-def _shard_fit_fn(b_params, b_emb, lr, mb, seed, ep, dropout, max_steps):
-    """One shard's local Adam pass for fit_crisscross_distributed.
+def _local_adam_delta(
+    pdf: pd.DataFrame,
+    params0: dict,
+    E: np.ndarray,
+    R: np.ndarray,
+    lr: float,
+    mb: int,
+    seed: int,
+    ep: int,
+    sh: int,
+    dropout: bool,
+    max_steps: int | None,
+    remap: tuple[np.ndarray, np.ndarray] | None = None,
+) -> pd.DataFrame:
+    """One shard's local Adam pass (shared by both distributed-fit
+    routes). Rows are sorted by (h, t, r, flag, trans_conf) — on their
+    GLOBAL ids — before the rng permutation: features are functions of
+    (h, r, t), so the sort is a content-total order (trans_conf is the
+    continuous tiebreak for synthetic frames whose duplicate keys carry
+    distinct features) and the pass is independent of Spark's
+    within-group row order (the repartition-invariance pytest pins it).
+    ``remap=(eids, rids)`` converts global ids to local block indices
+    AFTER the sort and batch build, so both routes walk bit-identical
+    trajectories."""
+    pdf = pdf.sort_values(
+        ["h", "t", "r", "flag", "trans_conf"]
+    ).reset_index(drop=True)
+    batch = batch_from_pandas(pdf)
+    if remap is not None:
+        batch = _remap_batch(batch, *remap)
+    y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
+    p = {
+        k: (np.copy(v) if isinstance(v, np.ndarray) else v)
+        for k, v in params0.items()
+    }
+    rng = np.random.default_rng((seed, ep, sh))
+    drop_rng = np.random.default_rng((seed, ep, sh, 1)) if dropout else None
+    keys = _trained_keys(p)
+    m = {k: 0.0 for k in keys}
+    v = {k: 0.0 for k in keys}
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    order = rng.permutation(len(y))
+    step = 0
+    for s0 in range(0, len(y), mb):
+        if max_steps is not None and step >= max_steps:
+            break
+        bi = order[s0 : s0 + mb]
+        if len(bi) < 2:  # BN needs a batch
+            continue
+        _, g = loss_and_grads(
+            {k: a[bi] for k, a in batch.items()}, y[bi], p, (E, R),
+            drop_rng=drop_rng, update_running=True,
+        )
+        step += 1
+        for k in keys:
+            m[k] = beta1 * m[k] + (1 - beta1) * g[k]
+            v[k] = beta2 * v[k] + (1 - beta2) * (np.asarray(g[k]) ** 2)
+            mh = m[k] / (1 - beta1**step)
+            vh = v[k] / (1 - beta2**step)
+            p[k] = p[k] - lr * mh / (np.sqrt(vh) + eps)
+    rows = []
+    for k in _delta_keys(p):
+        d = np.asarray(p[k], dtype=np.float64) - np.asarray(
+            params0[k], dtype=np.float64
+        )
+        rows.append((sh, k, d.ravel().tolist()))
+    return pd.DataFrame(rows, columns=["sh", "key", "delta"])
 
-    Rows are sorted by (h, t, r, flag, trans_conf) before the rng
-    permutation — features are functions of (h, r, t), so the sort is a
-    content-total order (trans_conf is the continuous tiebreak for
-    synthetic frames whose duplicate keys carry distinct features) and
-    the pass is independent of Spark's within-group row order (the
-    repartition-invariance pytest pins this).
+
+def _shard_fit_fn(b_params, b_emb, lr, mb, seed, ep, dropout, max_steps):
+    """Broadcast-route shard pass for fit_crisscross_distributed.
 
     ``b_params`` is the per-epoch broadcast (the ~2 MB trained dict);
     ``b_emb`` is the ONE-TIME broadcast of the frozen (ent, rel)
@@ -649,60 +732,41 @@ def _shard_fit_fn(b_params, b_emb, lr, mb, seed, ep, dropout, max_steps):
     """
 
     def _fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        sh = int(key[0])
-        params0 = b_params.value
         E, R = b_emb.value
-        p = {
-            k: (np.copy(v) if isinstance(v, np.ndarray) else v)
-            for k, v in params0.items()
-        }
-        pdf = pdf.sort_values(
-            ["h", "t", "r", "flag", "trans_conf"]
-        ).reset_index(drop=True)
-        batch = batch_from_pandas(pdf)
-        y = (pdf["flag"].to_numpy() == 1).astype(np.float64)
-        rng = np.random.default_rng((seed, ep, sh))
-        drop_rng = (
-            np.random.default_rng((seed, ep, sh, 1)) if dropout else None
+        return _local_adam_delta(
+            pdf, b_params.value, E, R, lr, mb, seed, ep, int(key[0]),
+            dropout, max_steps,
         )
-        keys = _trained_keys(p)
-        m = {k: 0.0 for k in keys}
-        v = {k: 0.0 for k in keys}
-        beta1, beta2, eps = 0.9, 0.999, 1e-8
-        order = rng.permutation(len(y))
-        step = 0
-        for s0 in range(0, len(y), mb):
-            if max_steps is not None and step >= max_steps:
-                break
-            bi = order[s0 : s0 + mb]
-            if len(bi) < 2:  # BN needs a batch
-                continue
-            _, g = loss_and_grads(
-                {k: a[bi] for k, a in batch.items()}, y[bi], p, (E, R),
-                drop_rng=drop_rng, update_running=True,
-            )
-            step += 1
-            for k in keys:
-                m[k] = beta1 * m[k] + (1 - beta1) * g[k]
-                v[k] = beta2 * v[k] + (1 - beta2) * (np.asarray(g[k]) ** 2)
-                mh = m[k] / (1 - beta1**step)
-                vh = v[k] / (1 - beta2**step)
-                p[k] = p[k] - lr * mh / (np.sqrt(vh) + eps)
-        rows = []
-        for k in _delta_keys(p):
-            d = np.asarray(p[k], dtype=np.float64) - np.asarray(
-                params0[k], dtype=np.float64
-            )
-            rows.append((sh, k, d.ravel().tolist()))
-        return pd.DataFrame(rows, columns=["sh", "key", "delta"])
+
+    return _fn
+
+
+def _shard_fit_cogroup_fn(b_params, lr, mb, seed, ep, dropout, max_steps):
+    """Gather-route shard pass: the frozen embeddings arrive as the
+    cogrouped (id, vec, kind) rows — only the slice this shard's rows
+    touch, never a vocab-sized broadcast. Ids remap to a compact local
+    block (monotonic, after the content sort), so the trajectory is
+    bit-identical to the broadcast route (pytest-pinned)."""
+
+    def _fn(key, pdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {"sh": [], "key": [], "delta": []}
+            ).astype({"sh": "int64", "key": "str"})
+        eids, E_loc = _emb_block(epdf, "e")
+        rids, R_loc = _emb_block(epdf, "r")
+        return _local_adam_delta(
+            pdf, b_params.value, E_loc, R_loc, lr, mb, seed, ep,
+            int(key[0]), dropout, max_steps, remap=(eids, rids),
+        )
 
     return _fn
 
 
 def fit_crisscross_distributed(
     feats_df,
-    ent: np.ndarray,
-    rel: np.ndarray,
+    ent: np.ndarray | None,
+    rel: np.ndarray | None,
     lr: float = 1e-3,
     mb: int = 64,
     epochs: int = 100,
@@ -712,6 +776,7 @@ def fit_crisscross_distributed(
     max_steps: int | None = None,
     n_shards: int = 8,
     val_cap: int = 100_000,
+    emb_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> dict:
     """M6 without the driver-resident labeled set: epoch-sharded local
     Adam + ordered parameter averaging (the fit_embeddings_distributed
@@ -738,24 +803,43 @@ def fit_crisscross_distributed(
     to distant-supervision size (10^8+ rows) without touching driver
     memory.
 
-    Vocab scale: the frozen (ent, rel) matrices broadcast ONCE for the
-    whole fit (params-only per-epoch traffic). At reference-scale vocab
-    (1e5, KGE_config_template.properties:6) the one-time ship is ~80 MB;
-    at billion-entity vocab the branch inputs should instead be GATHERED
-    per shard via the plan->gather join the M4 table trainer uses
-    (transe.fit_embeddings_table, transe.py: the shard's touched ids are
-    known up front from its rows' (h, t, path tokens), so each grouped
-    task needs only its own slice of E/R). Not wired here because the
-    labeled dev-pair set's touched vocab is query-set-bounded by
-    construction — the gather pays only when labels come from
-    distant supervision over the full corpus.
+    Vocab scale — two routes:
+
+    - default (numpy ``ent``/``rel``): the frozen matrices broadcast
+      ONCE for the whole fit (params-only per-epoch traffic). At
+      reference-scale vocab (1e5, KGE_config_template.properties:6) the
+      one-time ship is ~80 MB — the right call there;
+    - ``emb_tables=(ent_df, rel_df)`` of (id, vec) rows
+      (``fit_embeddings_table``'s output form): NO vocab-sized array
+      anywhere — the branch inputs are GATHERED per shard via the
+      plan->gather->cogroup shape the M4 table trainer uses
+      (transe.py:729). The shard's touched ids are known up front from
+      its rows' (h, t, r, path tokens), so the gather frame is built
+      and checkpointed ONCE (it is epoch-invariant: shard assignment
+      and row content don't change) and each epoch's job cogroups it
+      with the shard rows; the holdout eval gathers its own (val_cap-
+      bounded) slice once. Ids remap to compact local blocks after the
+      content sort (monotonic), so both routes walk bit-identical
+      trajectories — pinned by pytest
+      (test_fit_distributed_gather_route_parity).
     """
     spark = feats_df.sparkSession
-    emb = (
-        np.asarray(ent, dtype=np.float64),
-        np.asarray(rel, dtype=np.float64),
-    )
-    params = init_params(emb[0].shape[1], emb[1].shape[1], seed=seed)
+    if emb_tables is None:
+        if ent is None or rel is None:
+            raise ValueError("need numpy (ent, rel) or emb_tables")
+        emb = (
+            np.asarray(ent, dtype=np.float64),
+            np.asarray(rel, dtype=np.float64),
+        )
+        dims = (emb[0].shape[1], emb[1].shape[1])
+    else:
+        ent_df, rel_df = emb_tables
+        emb = None
+        dims = (
+            len(ent_df.select("vec").head()["vec"]),
+            len(rel_df.select("vec").head()["vec"]),
+        )
+    params = init_params(dims[0], dims[1], seed=seed)
     hcols = [F.col("h"), F.col("t"), F.col("r"), F.col("flag")]
     val_df = feats_df.filter(
         F.pmod(F.xxhash64(*hcols, F.lit(seed + 999)), F.lit(10)) == 0
@@ -787,26 +871,82 @@ def fit_crisscross_distributed(
     val_b = batch_from_pandas(val_pdf)
     val_y = (val_pdf["flag"].to_numpy() == 1).astype(np.float64)
 
+    if emb_tables is not None:
+        # holdout slice of the embedding tables, pulled once (the val
+        # set is val_cap-bounded, so its touched-id set is too)
+        def _pull(tab: DataFrame, ids: np.ndarray):
+            id_df = spark.createDataFrame(
+                [(int(i),) for i in ids], "id long"
+            )
+            pdf = tab.join(F.broadcast(id_df), "id").toPandas()
+            idn = pdf["id"].to_numpy(dtype=np.int64)
+            order = np.argsort(idn)
+            return idn[order], np.stack(
+                pdf["vec"].to_numpy()[order]
+            ).astype(np.float64)
+
+        e_ids = np.unique(np.concatenate(
+            [np.asarray(val_b["h"]), np.asarray(val_b["t"])]
+            + [
+                np.asarray(val_b[f"p{k}_{nm}"]).ravel()
+                for k in range(1, MAX_P + 1)
+                for nm in ("h", "t")
+            ]
+            + [np.zeros(1, dtype=np.int64)]
+        )).astype(np.int64)
+        r_ids = np.unique(np.concatenate(
+            [np.asarray(val_b["r"])]
+            + [
+                np.asarray(val_b[f"p{k}_r"]).ravel()
+                for k in range(1, MAX_P + 1)
+            ]
+            + [np.zeros(1, dtype=np.int64)]
+        )).astype(np.int64)
+        veids, E_val = _pull(ent_df, e_ids)
+        vrids, R_val = _pull(rel_df, r_ids)
+        val_b = _remap_batch(val_b, veids, vrids)
+        eval_emb = (E_val, R_val)
+    else:
+        eval_emb = emb
+
     keys = _delta_keys(params)
     shapes = {k: np.asarray(params[k]).shape for k in keys}
     best = {k: np.copy(np.asarray(params[k])) for k in keys}
     best_loss, bad = np.inf, 0
     sc = spark.sparkContext
-    # frozen embeddings ship ONCE; only the architecture-bounded (~2 MB)
-    # parameter dict is re-broadcast per epoch
-    b_emb = sc.broadcast(emb)
+    b_emb = None
+    if emb_tables is None:
+        # frozen embeddings ship ONCE; only the architecture-bounded
+        # (~2 MB) parameter dict is re-broadcast per epoch
+        b_emb = sc.broadcast(emb)
+    else:
+        # the gather frame is epoch-invariant: build + checkpoint once,
+        # cogroup it into every epoch's shard job
+        gathered = _gather_emb_frame(
+            train_df, ent_df, rel_df, "_sh", "_gsh"
+        ).repartition(n_shards, "_gsh").localCheckpoint(eager=True)
+    delta_schema = "sh long, key string, delta array<double>"
     for ep in range(epochs):
         b_params = sc.broadcast(params)
-        deltas = (
-            train_df.groupBy("_sh")
-            .applyInPandas(
+        if emb_tables is None:
+            grouped = train_df.groupBy("_sh").applyInPandas(
                 _shard_fit_fn(
                     b_params, b_emb, lr, mb, seed, ep, dropout, max_steps
                 ),
-                schema="sh long, key string, delta array<double>",
+                schema=delta_schema,
             )
-            .toPandas()
-        )
+        else:
+            grouped = (
+                train_df.groupBy("_sh")
+                .cogroup(gathered.groupBy("_gsh"))
+                .applyInPandas(
+                    _shard_fit_cogroup_fn(
+                        b_params, lr, mb, seed, ep, dropout, max_steps
+                    ),
+                    schema=delta_schema,
+                )
+            )
+        deltas = grouped.toPandas()
         b_params.unpersist()
         if not len(deltas):
             break
@@ -821,7 +961,7 @@ def fit_crisscross_distributed(
                 params[k] = float(np.asarray(params[k]) + mean[0])
             else:
                 params[k] = np.asarray(params[k]) + mean.reshape(shapes[k])
-        pv, _ = forward(val_b, params, emb, train=False)
+        pv, _ = forward(val_b, params, eval_emb, train=False)
         p1 = pv[np.arange(len(val_y)), val_y.astype(np.int64)]
         vloss = float(-np.mean(np.log(p1 + 1e-12)))
         if vloss < best_loss - 1e-6:
@@ -831,7 +971,8 @@ def fit_crisscross_distributed(
             bad += 1
             if bad >= patience:
                 break
-    b_emb.unpersist()
+    if b_emb is not None:
+        b_emb.unpersist()
     for k in keys:
         params[k] = best[k] if shapes[k] != () else float(best[k])
     return params
