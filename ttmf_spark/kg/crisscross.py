@@ -750,9 +750,15 @@ def _shard_fit_cogroup_fn(b_params, lr, mb, seed, ep, dropout, max_steps):
 
     def _fn(key, pdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
+            # delta must be object-dtyped: an empty float64 column does
+            # not Arrow-convert to list<double>
             return pd.DataFrame(
-                {"sh": [], "key": [], "delta": []}
-            ).astype({"sh": "int64", "key": "str"})
+                {
+                    "sh": pd.Series([], dtype="int64"),
+                    "key": pd.Series([], dtype="str"),
+                    "delta": pd.Series([], dtype="object"),
+                }
+            )
         eids, E_loc = _emb_block(epdf, "e")
         rids, R_loc = _emb_block(epdf, "r")
         return _local_adam_delta(
