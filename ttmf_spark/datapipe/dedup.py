@@ -154,29 +154,33 @@ def minhash_signatures(
         rng = __import__("numpy").random.default_rng(1234567)
         a = F.array(*[F.lit(int(rng.integers(1, p))) for _ in range(k)])
         b = F.array(*[F.lit(int(rng.integers(0, p))) for _ in range(k)])
-        # one base hash per shingle, then explode the k permutations into
-        # rows and min-aggregate — k wide min() aggregates would compile a
-        # pathologically large codegen stage (seconds of Janino per run)
+        # one base hash per shingle, ONE groupBy(doc) collecting the
+        # base hashes, then all k mins as a single nested-transform
+        # expression over the (a, b) literal array — data-side loops in
+        # one generated operator. (Two rejected shapes: k wide min()
+        # aggregates compile a pathologically large codegen stage —
+        # seconds of Janino per run; and posexplode-ing the k
+        # permutations into rows multiplies the shingle stream k-fold
+        # through the shuffle, ~256M rows at sf0.1 — measured 2x slower
+        # than this plan end-to-end.)
         base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
-        perms = sh.select(
-            id_col,
-            F.posexplode(
-                F.zip_with(a, b, lambda ai, bi: F.pmod(ai * base + bi, F.lit(p)))
-            ).alias("_i", "_hv"),
-        )
-        agg = (
-            perms.groupBy(id_col, "_i")
-            .agg(F.min("_hv").alias("_mv"))
+        ab = F.zip_with(a, b, lambda ai, bi: F.struct(ai.alias("a"), bi.alias("b")))
+        return (
+            sh.select(id_col, base.alias("_h"))
             .groupBy(id_col)
-            .agg(
-                F.array_sort(F.collect_list(F.struct("_i", "_mv"))).alias("_sm")
-            )
+            .agg(F.collect_list("_h").alias("_hs"))
             .select(
                 id_col,
-                F.transform("_sm", lambda s: s["_mv"]).alias("sig"),
+                F.transform(
+                    ab,
+                    lambda s: F.array_min(
+                        F.transform(
+                            "_hs", lambda h: F.pmod(s["a"] * h + s["b"], F.lit(p))
+                        )
+                    ),
+                ).alias("sig"),
             )
         )
-        return agg
     mins = [
         F.min(hash64(F.col("shingle"), i, hash_fn)).alias(f"_m{i}") for i in range(k)
     ]
@@ -234,6 +238,10 @@ def minhash_lsh_pairs(
     """Approximate near-dup pairs: banded minhash bucket join + exact
     Jaccard verification of the candidates. r = k/bands rows per band."""
     bucketed = minhash_buckets(docs, k, bands, n, text_col, id_col, hash_fn)
+    # the index feeds both sides of the self-join; materialize once
+    # (bands x n_docs rows — the index itself, linear state) instead of
+    # recomputing the shingle->signature pipeline per side
+    bucketed = bucketed.localCheckpoint(eager=True)
     ca = bucketed.select(F.col(id_col).alias("a"), "band", "bucket")
     cb = bucketed.select(F.col(id_col).alias("b"), "band", "bucket")
     cand = (
@@ -256,8 +264,23 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over candidate (a, b) pairs only — the verification
     half shared by the batch LSH path and streaming.near_dup_stream. The
-    re-shingle is a narrow recompute bounded by the candidate set."""
-    sh = shingles(docs, text_col, id_col, n)
+    re-shingle is a narrow recompute bounded by the candidate set: docs
+    prune to the candidate ids BEFORE the shingle explode (the id dim is
+    LSH-bounded — candidates, not corpus — so AQE broadcasts it and the
+    three shingle consumers below scan only candidate docs; without the
+    prune, sizes/sa/sb each re-shingled the full corpus, ~4.8s of the
+    old 5.9s sf0.1 wall for 256 pairs)."""
+    # candidates are consumed three times below (ids x2, common);
+    # materialize once so a caller's expensive lineage (the whole LSH
+    # index build) doesn't re-execute per consumer. Distributed +
+    # candidate-set-bounded, never driver-resident.
+    cand = cand.localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("a").alias(id_col))
+        .unionByName(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(docs.join(ids, id_col), text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("a"), "shingle")
     sb = sh.select(F.col(id_col).alias("b"), "shingle")
