@@ -112,6 +112,9 @@ def jaccard_pairs(
     if max_df:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
         sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
+    # sizes + both self-join sides consume sh (and the max_df prune adds
+    # two more consumers of the raw shingle stream): materialize once
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -161,8 +164,9 @@ def minhash_signatures(
         # aggregates compile a pathologically large codegen stage —
         # seconds of Janino per run; and posexplode-ing the k
         # permutations into rows multiplies the shingle stream k-fold
-        # through the shuffle, ~256M rows at sf0.1 — measured 2x slower
-        # than this plan end-to-end.)
+        # through a two-level shuffle — ~256M rows at sf0.1, measured 8x
+        # slower than this plan on the signatures stage alone, 3.9s vs
+        # 0.5s warm.)
         base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
         ab = F.zip_with(a, b, lambda ai, bi: F.struct(ai.alias("a"), bi.alias("b")))
         return (
@@ -360,6 +364,10 @@ def simhash_near_dup(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.blk", "bb.val")
+    # both self-join sides consume the block index: materialize once
+    # (n_blocks x n_docs narrow rows) instead of recomputing the
+    # token-hash SimHash pipeline per side
+    blocks = blocks.localCheckpoint(eager=True)
     a = blocks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "blk", "val")
     b = blocks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "blk", "val")
     cand = (
@@ -435,6 +443,9 @@ def containment_pairs(
     if max_df:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
         sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
+    # sizes + both self-join sides consume sh (and the max_df prune adds
+    # two more consumers of the raw shingle stream): materialize once
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
