@@ -230,6 +230,13 @@ def embedding_near_dup_pairs(
     bucketed = u.withColumn(
         "_bb", band_bucket_udf(planes)(F.col("_unit"))
     ).select("_id", F.posexplode("_bb").alias("_band", "_bucket"))
+    # both self-join sides consume the sketch index, and it contains a
+    # Python UDF pass over every vector — materialize once (bands x
+    # n_vec narrow rows). The unit-norm frame u is deliberately NOT
+    # checkpointed: its two verify-side consumers are a narrow
+    # scan+normalize recompute, cheaper at corpus scale than
+    # materializing a full float copy of the embedding table.
+    bucketed = bucketed.localCheckpoint(eager=True)
     a = bucketed.select(
         F.col("_id").alias("a"), "_band", "_bucket"
     )
