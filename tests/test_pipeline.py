@@ -249,6 +249,70 @@ def test_bucket_layout_contract(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_compact_partitioned_restores_one_file_per_bucket(spark, tmp_path):
+    """compact_partitioned: after N incremental appends each bucket dir
+    holds N small files; compaction restores one file per bucket while
+    preserving the row multiset, the dir-bucket purity, and the
+    within-file sort — the steady-state small-files maintenance op for
+    the fold-maintained tables."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.io_util import compact_partitioned, write_partitioned
+
+    n_buckets = 8
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("S"), (F.col("id") % 97).cast("string")).alias("s"),
+            F.concat(F.lit("P"), (F.col("id") % 5).cast("string")).alias("p"),
+            F.col("id").cast("string").alias("o"),
+        )
+
+    path = str(tmp_path / "maintained")
+    write_partitioned(batch(0, 300), path, bucket_col="s",
+                      n_buckets=n_buckets, sort_cols=["s", "p", "o"])
+    for lo in (300, 600, 900):  # three incremental folds
+        write_partitioned(batch(lo, lo + 300), path, bucket_col="s",
+                          n_buckets=n_buckets, sort_cols=["s", "p", "o"],
+                          mode="append")
+    want = sorted(
+        map(tuple, spark.read.parquet(path).select("s", "p", "o").collect())
+    )
+    per_dir = {
+        d: len(glob.glob(d + "/*.parquet"))
+        for d in glob.glob(path + "/bucket=*")
+    }
+    assert max(per_dir.values()) > 1  # the small-files problem is real
+
+    n_before = compact_partitioned(spark, path, sort_cols=["s", "p", "o"])
+    assert n_before == sum(per_dir.values())
+
+    files = sorted(glob.glob(path + "/bucket=*/*.parquet"))
+    per_dir2 = {
+        d: len(glob.glob(d + "/*.parquet"))
+        for d in glob.glob(path + "/bucket=*")
+    }
+    assert set(per_dir2.values()) == {1}  # one file per bucket again
+    assert set(per_dir2) == set(per_dir)  # same bucket dirs -> same pruning
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("s", "p", "o").collect())
+    )
+    assert got == want  # row multiset preserved
+    for f in files:
+        dir_bucket = int(f.split("bucket=")[1].split("/")[0])
+        t = pq.read_table(f)
+        rows = list(zip(t["s"].to_pylist(), t["p"].to_pylist(), t["o"].to_pylist()))
+        hb = {r["b"] for r in spark.createDataFrame(
+            [(s,) for s, _, _ in set(rows)], "s string"
+        ).select(F.pmod(F.xxhash64("s"), F.lit(n_buckets)).alias("b")).collect()}
+        assert hb == {dir_bucket}  # purity survives the rewrite
+        assert rows == sorted(rows)  # and so does the within-file sort
+    assert not glob.glob(path + ".bak") and not glob.glob(path + ".compacting")
+
+
 def test_incremental_maintenance_chain_matches_full_recompute(spark):
     """The whole incremental story composes: a new doc batch folds into
     every long-lived table WITHOUT rescanning the base corpus, and each

@@ -71,3 +71,54 @@ def write_partitioned(
         # (non-stable) sort, destroying the data ordering
         out = out.sortWithinPartitions("bucket", *sort_cols)
     getattr(out.write.mode(mode).partitionBy("bucket"), fmt)(path)
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a ``write_partitioned`` table so each bucket directory
+    holds ONE file again; returns the file count before compaction.
+
+    Steady-state maintenance ops (``triple_support_incremental`` folds,
+    ``components_incremental`` label merges, streaming micro-batch
+    sinks) append a file per bucket per fold — after thousands of folds
+    a 100 TB reader pays file-open and footer cost per tiny file, the
+    classic small-files problem. Compaction restores one-file-per-bucket
+    while preserving the full layout contract (bucket dirs = pruning,
+    within-file sort order), so it is safe to run on any cadence.
+
+    This is the parquet stand-in for Iceberg's ``rewriteDataFiles``
+    action (which does the same rewrite under a snapshot transaction).
+    Without a transactional catalog the swap is two directory renames:
+    write to ``<path>.compacting``, rename ``path`` -> ``<path>.bak``,
+    rename ``.compacting`` -> ``path``, delete ``.bak``. Crash-window
+    ordering contract (same duplicates-never-loss style the batched
+    path resume pins): a crash always leaves at least one complete copy
+    — before the first rename the original is untouched; between the
+    renames ``.bak`` is the complete table; after, ``path`` is.
+    Readers racing the swap must re-list (document as the non-Iceberg
+    deployment caveat).
+    """
+    import glob
+    import os
+    import shutil
+
+    before = len(glob.glob(os.path.join(path, "bucket=*", "*")))
+    df = getattr(spark.read, fmt)(path)
+    # hash-repartition ON the bucket column: every bucket's rows land in
+    # exactly one task, so the dynamic-partition writer emits exactly
+    # one file per bucket directory (a task holding several buckets
+    # still writes each to its own directory)
+    out = df.repartition(F.col("bucket"))
+    if sort_cols:
+        out = out.sortWithinPartitions("bucket", *sort_cols)
+    tmp, bak = path + ".compacting", path + ".bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    getattr(out.write.mode("overwrite").partitionBy("bucket"), fmt)(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return before
