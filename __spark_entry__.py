@@ -93,14 +93,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": Q.q_kg_components,
         "kg_anf": Q.q_kg_anf,
         "kg_hits": Q.q_kg_hits,
-        "kg_walks": Q.q_kg_walks,
-        "kg_walk_pairs": Q.q_kg_walk_pairs,
         "doc_kmv_distinct": Q.q_doc_kmv_distinct,
         "emb_pq_codes": Q.q_emb_pq_codes,
         "emb_pq_topk": Q.q_emb_pq_topk,
-        "emb_pq_recall": Q.q_emb_pq_recall,
+        # late-round-4 plan changes (shared-subtree materialization in
+        # the dedup/similarity pair generators): gate the changed
+        # semantics on the hard signal, displacing three unchanged
+        # r2-gated entries (kg_walks, kg_walk_pairs, emb_pq_recall —
+        # still pinned by gate_sweep + test_queries_oracle)
+        "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
+        "doc_containment_pairs": Q.q_doc_containment_pairs,
+        "emb_near_dup": Q.q_emb_near_dup,
         # --- end driver window (50); below re-pinned by
         # tests/test_queries_oracle.py + scripts/gate_sweep.py ---
+        "kg_walks": Q.q_kg_walks,
+        "kg_walk_pairs": Q.q_kg_walk_pairs,
+        "emb_pq_recall": Q.q_emb_pq_recall,
         "emb_ivfpq_topk": Q.q_emb_ivfpq_topk,
         "kg_er_candidates": Q.q_kg_er_candidates,
         "kg_er_clusters": Q.q_kg_er_clusters,
@@ -135,11 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": Q.q_doc_token_budget,
         "doc_length_quantiles": Q.q_doc_length_quantiles,
         "doc_sampled_quantiles": Q.q_doc_sampled_quantiles,
-        "doc_containment_pairs": Q.q_doc_containment_pairs,
         "doc_near_dup_clusters": Q.q_doc_near_dup_clusters,
         "doc_segment_dedup": Q.q_doc_segment_dedup,
-        "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
-        "emb_near_dup": Q.q_emb_near_dup,
         "emb_lsh_topk": Q.q_emb_lsh_topk,
         "emb_ivf_topk": Q.q_emb_ivf_topk,
         "emb_ann_recall": Q.q_emb_ann_recall,
