@@ -105,6 +105,86 @@ def test_components_incremental_matches_full_recompute(spark):
     assert got_dist == full
 
 
+def test_components_decremental_matches_full_recompute(spark):
+    """Deletion-side label maintenance (components_decremental) == full CC
+    on the surviving edges (+ self-labels for nodes that lost every
+    edge), across the delta shapes that matter: a bridge deletion that
+    SPLITS a component, a redundant-edge deletion that does not (cycle),
+    a node isolated entirely, deletion of an absent edge (no-op), and
+    untouched components kept verbatim."""
+    from ttmf_spark.extract.canonicalize import components_decremental
+
+    # chain 1-2-3-4, triangle 10-11-12, pair 20-21, isolated-by-delete 30-31
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+         (20, 21), (30, 31)],
+        ["src", "dst"],
+    )
+    deleted = spark.createDataFrame(
+        [
+            (2, 3),     # bridge: splits {1,2,3,4} -> {1,2} + {3,4}
+            (10, 11),   # redundant (triangle): still one component
+            (30, 31),   # isolates both 30 and 31
+            (7, 8),     # absent edge: no-op
+        ],
+        ["src", "dst"],
+    )
+    base_labels = connected_components(base)
+    got = {
+        r.node: r.component
+        for r in components_decremental(base_labels, base, deleted).collect()
+    }
+    rem = base.exceptAll(deleted)
+    full = {
+        r.node: r.component for r in connected_components(rem).collect()
+    }
+    # maintained-table contract: every previously-known node stays,
+    # now-isolated ones as their own singleton
+    for n in (30, 31):
+        assert n not in full
+        full[n] = n
+    assert got == full
+    assert got[3] == 3 and got[4] == 3 and got[1] == 1  # the split happened
+    assert got[10] == got[11] == got[12] == 10  # cycle survived
+    assert got[20] == got[21] == 20  # untouched component verbatim
+
+    # distributed recompute route forced on the affected subgraph
+    got_dist = {
+        r.node: r.component
+        for r in components_decremental(
+            base_labels, base, deleted, driver_max_edges=0
+        ).collect()
+    }
+    assert got_dist == full
+
+
+def test_components_decremental_randomized_equality(spark):
+    """Randomized pin: on a random graph with a random deletion subset,
+    the delta-scoped maintenance equals the from-scratch recompute with
+    singleton backfill, and unaffected rows are bit-verbatim."""
+    import random
+
+    from ttmf_spark.extract.canonicalize import components_decremental
+
+    rnd = random.Random(7)
+    edges = list({(rnd.randrange(40), rnd.randrange(40)) for _ in range(60)})
+    deleted = [e for e in edges if rnd.random() < 0.3]
+    base = spark.createDataFrame(edges, ["src", "dst"])
+    dele = spark.createDataFrame(deleted, ["src", "dst"])
+    base_labels = connected_components(base)
+    got = {
+        r.node: r.component
+        for r in components_decremental(base_labels, base, dele).collect()
+    }
+    full = {
+        r.node: r.component
+        for r in connected_components(base.exceptAll(dele)).collect()
+    }
+    for n, c in connected_components(base).collect():
+        full.setdefault(n, n)  # backfill nodes isolated by the deletions
+    assert got == full
+
+
 def test_components_incremental_empty_delta(spark):
     """An empty batch must return the base labeling unchanged."""
     from ttmf_spark.extract.canonicalize import components_incremental

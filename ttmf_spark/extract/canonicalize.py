@@ -229,6 +229,85 @@ def components_incremental(
     return updated.unionByName(new_nodes)
 
 
+def components_decremental(
+    base_labels: DataFrame,
+    all_edges: DataFrame,
+    deleted_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **cc_kwargs,
+) -> DataFrame:
+    """Fold a batch of edge DELETIONS into an existing labeling without a
+    full recompute: (node, component) for the graph minus the deletions.
+
+    The retraction half of the maintenance pair (``components_incremental``
+    folds additions): when alias edges are withdrawn — a source document
+    un-published, an extraction correction, a spam takedown — clusters can
+    SPLIT, which no label-join shortcut can express; connectivity must be
+    re-derived from the surviving edges. The cost stays delta-bounded
+    anyway, because a deletion can only change components that contained a
+    deleted edge:
+
+      1. name the affected components: one delta-sized join of the deleted
+         edges' endpoints against the label table (the affected-component
+         set is delta-bounded and broadcasts);
+      2. carve the affected subgraph: surviving edges (one anti-join on
+         the stored (src, dst) rows) whose source labels to an affected
+         component — one pruned pass over the maintained edge table, the
+         only corpus-scale touch (on a bucketed/Iceberg edge table the
+         broadcast label filter prunes files);
+      3. re-run ``connected_components`` on that subgraph ONLY, then
+         splice: unaffected rows are kept VERBATIM, affected nodes take
+         their recomputed label, and affected nodes isolated by the
+         deletion become their own singleton component.
+
+    Equality contract (pinned by pytest): output == ``connected_components``
+    on the surviving edge set, backfilled with self-labels for
+    previously-known nodes that lost every edge — the maintained table
+    keeps every node it has ever seen, exactly like the incremental fold.
+    Splits change canonical ids for the NON-min side, so downstream
+    maintained tables re-key through ``label_remap(old, new)`` +
+    ``resupport_after_merge`` — the same hook the merge path uses.
+
+    ``deleted_edges`` matches rows by their stored (src, dst) orientation
+    (delete what was inserted); deleting an absent edge is a no-op.
+    """
+    rem = all_edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).join(
+        deleted_edges.select(F.col(src).alias("u"), F.col(dst).alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    d = deleted_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ends = d.select(F.col("u").alias("node")).union(
+        d.select(F.col("v").alias("node"))
+    ).distinct()
+    aff = (
+        ends.join(base_labels, "node").select("component").distinct()
+        .localCheckpoint(eager=True)  # delta-bounded; consumed three times
+    )
+    sub_nodes = base_labels.join(F.broadcast(aff), "component", "left_semi")
+    # any surviving edge has both endpoints in one base component, so the
+    # src label alone decides membership in the affected subgraph
+    sub_edges = (
+        rem.join(
+            base_labels.select(
+                F.col("node").alias("u"), F.col("component").alias("_c")
+            ),
+            "u",
+        )
+        .join(F.broadcast(aff.select(F.col("component").alias("_c"))), "_c", "left_semi")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    recomputed = connected_components(sub_edges, **cc_kwargs)
+    relabeled = sub_nodes.select("node").join(recomputed, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+    kept = base_labels.join(F.broadcast(aff), "component", "left_anti")
+    return kept.unionByName(relabeled)
+
+
 def label_remap(old_labels: DataFrame, new_labels: DataFrame) -> DataFrame:
     """(old, new) canonical-label pairs that CHANGED between two labelings
     — the merge map a cluster-merging alias delta produces, named so

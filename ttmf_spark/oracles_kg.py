@@ -669,6 +669,46 @@ def kg_components_sql(rounds: int = 8) -> str:
     )
 
 
+def kg_components_retract_sql(
+    rounds: int = 8, seed: int = 11, mod: int = 8, residue: int = 3
+) -> str:
+    """Twin of queries.q_kg_components_retract: full-recompute CC over the
+    SURVIVING edges (the deterministic md5-hash deletion subset removed)
+    with the node universe taken from the FULL edge set — so nodes
+    isolated by the deletions label themselves, exactly the maintained-
+    table contract components_decremental implements delta-scoped."""
+    hdel = (
+        f"('0x' || substr(md5('{seed}|' || CAST(h AS VARCHAR) || '|' || "
+        f"CAST(t AS VARCHAR)), 1, 15))::BIGINT % {mod} = {residue}"
+    )
+    parts = [
+        "e AS MATERIALIZED ("
+        f"  SELECT DISTINCT h AS u, t AS v FROM idt WHERE h <> t AND NOT ({hdel}))",
+        "und AS MATERIALIZED ("
+        "  SELECT u AS node, v AS nbr FROM e"
+        "  UNION"
+        "  SELECT v AS node, u AS nbr FROM e)",
+        "nodes AS (SELECT h AS node FROM idt UNION SELECT t FROM idt)",
+        "c0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED ("
+            f"  SELECT l.node, LEAST(l.label,"
+            f"                       COALESCE(nb.m, l.label),"
+            f"                       COALESCE(j.label, l.label)) AS label"
+            f"  FROM c{i - 1} l"
+            f"  LEFT JOIN (SELECT u.node AS node, MIN(x.label) AS m"
+            f"             FROM und u JOIN c{i - 1} x ON x.node = u.nbr"
+            f"             GROUP BY u.node) nb ON nb.node = l.node"
+            f"  LEFT JOIN c{i - 1} j ON j.node = l.label)"
+        )
+    return (
+        f"WITH {KG_BASE.strip()},\n" + ",\n".join(parts) + "\n"
+        f"SELECT node, label AS component FROM c{rounds}"
+    )
+
+
 def kg_anf_sql(k: int = 16, seed: int = 0) -> str:
     """Twin of graph.anf_neighborhood_sizes(depth=2, hash_fn='md5'):
     the 2-round bottom-k recursion unrolled, same seeded md5-60bit

@@ -1140,6 +1140,25 @@ def q_kg_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components_incremental(base_labels, delta)
 
 
+def q_kg_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-side label maintenance (canonicalize.components_decremental):
+    a deterministic md5-hash subset (1/8, residue 3, seed 11 — portable,
+    so the oracle names the same rows) of the KG skeleton's edges is
+    RETRACTED from a fully-labeled graph; the affected components are
+    re-derived from their surviving edges only and spliced, unaffected
+    rows verbatim, nodes isolated by the deletion as singletons. The
+    oracle is a from-scratch pointer-jumping CC over the surviving edges
+    with the full-node universe — a green row proves the delta-scoped
+    splice equals the full recompute, splits included."""
+    from ttmf_spark.extract.canonicalize import components_decremental
+
+    idt, _ = _id_triples(spark, sf_dir)
+    e = idt.select(F.col("h").alias("src"), F.col("t").alias("dst"))
+    deleted = e.filter((_h(["src", "dst"], seed=11) % F.lit(8)) == F.lit(3))
+    base_labels = canonicalize.connected_components(e)
+    return components_decremental(base_labels, e, deleted)
+
+
 def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-then-prune semantic deduplication
     (similarity.semantic_dedup), md5-hash-sampled centroids for exact
