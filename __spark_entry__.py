@@ -58,9 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_support": Q.q_kg_triple_support,
         "kg_support_delta": Q.q_kg_support_delta,
         "kg_components_delta": Q.q_kg_components_delta,
-        # new in round 4: deletion-side CC maintenance (splits), oracle =
-        # full recompute over surviving edges
+        # new in round 4: deletion-side maintenance (CC splits + doc
+        # retraction), oracles = full recompute over the survivors
         "kg_components_retract": Q.q_kg_components_retract,
+        "kg_support_retract": Q.q_kg_support_retract,
         "kg_fusion_conf": Q.q_kg_fusion_conf,
         "kg_lowest_conf": Q.q_kg_lowest_conf,
         "kg_crisscross_conf": Q.q_kg_crisscross_conf,  # rows-only
@@ -97,19 +98,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anf": Q.q_kg_anf,
         "kg_hits": Q.q_kg_hits,
         "doc_kmv_distinct": Q.q_doc_kmv_distinct,
-        "emb_pq_codes": Q.q_emb_pq_codes,
         # late-round-4 plan changes (shared-subtree materialization in
         # the dedup/similarity pair generators): gate the changed
-        # semantics on the hard signal, displacing three unchanged
-        # r2-gated entries (kg_walks, kg_walk_pairs, emb_pq_recall —
-        # still pinned by gate_sweep + test_queries_oracle)
+        # semantics on the hard signal, displacing unchanged r2-gated
+        # entries (kg_walk_pairs, emb_pq_codes/topk/recall — still pinned
+        # by gate_sweep + test_queries_oracle)
         "doc_jaccard_pairs": Q.q_doc_jaccard_pairs,
         "doc_containment_pairs": Q.q_doc_containment_pairs,
         "emb_near_dup": Q.q_emb_near_dup,
+        "kg_walks": Q.q_kg_walks,
         # --- end driver window (50); below re-pinned by
         # tests/test_queries_oracle.py + scripts/gate_sweep.py ---
-        "kg_walks": Q.q_kg_walks,
         "kg_walk_pairs": Q.q_kg_walk_pairs,
+        "emb_pq_codes": Q.q_emb_pq_codes,
         "emb_pq_topk": Q.q_emb_pq_topk,
         "emb_pq_recall": Q.q_emb_pq_recall,
         "emb_ivfpq_topk": Q.q_emb_ivfpq_topk,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": oracles_kg.kg_components_sql(),
         "kg_components_delta": oracles_kg.kg_components_sql(),
         "kg_components_retract": oracles_kg.kg_components_retract_sql(),
+        "kg_support_retract": oracles.kg_support_retract_sql(),
         "kg_anf": oracles_kg.kg_anf_sql(),
         "kg_hits": oracles_kg.kg_hits_sql(),
         "kg_walks": oracles_kg.kg_walks_sql(),

@@ -307,6 +307,50 @@ def test_triple_support_incremental_matches_full_recompute(spark):
     assert f == w
 
 
+def test_triple_support_decremental_matches_full_recompute(spark):
+    """Retracting a doc batch from the maintained support table
+    (triple_support_decremental) equals triple_support recomputed on the
+    surviving corpus: counts decrement, witness pointers move to the
+    next surviving doc, zero-witness triples drop, and both returned
+    tables (support + doc_level) match their from-scratch twins. An
+    unknown doc_id in the deletion batch is a no-op."""
+    from ttmf_spark.extract.pipeline import (
+        doc_triples,
+        triple_support,
+        triple_support_decremental,
+    )
+
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    is_del = F.crc32(F.col("doc_id")) % 3 == 0
+    kept_docs = docs.filter(~is_del)
+    deleted_ids = docs.filter(is_del).select("doc_id").unionByName(
+        docs.sparkSession.createDataFrame([("no_such_doc",)], ["doc_id"])
+    )
+    assert kept_docs.count() > 0 and deleted_ids.count() > 1
+
+    existing = triple_support(docs, gaz, same_as=same).localCheckpoint(eager=True)
+    doc_level = doc_triples(docs, gaz, same_as=same).localCheckpoint(eager=True)
+    support2, doc_level2 = triple_support_decremental(
+        existing, doc_level, deleted_ids
+    )
+    full = triple_support(kept_docs, gaz, same_as=same)
+
+    f = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in support2.collect()}
+    w = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in full.collect()}
+    assert f == w
+    # some triple actually lost a witness and some vanished entirely
+    old = {(r.s, r.p, r.o): r.n_docs for r in existing.collect()}
+    assert any(f[k][0] < old[k] for k in f)
+    assert set(old) - set(f)
+    # the maintained doc_level equals its from-scratch twin too
+    dl = sorted(map(tuple, doc_level2.select("doc_id", "s", "p", "o").collect()))
+    dw = sorted(map(tuple, doc_triples(kept_docs, gaz, same_as=same)
+                .select("doc_id", "s", "p", "o").collect()))
+    assert dl == dw
+
+
 def test_resupport_after_merge_shared_witness(spark):
     """The case plain count-adding gets WRONG: two old triples collapse
     into one new key while sharing a witness doc — the merged support

@@ -247,3 +247,47 @@ def resupport_after_merge(
         new_keys, ["s", "p", "o"], "left_anti"
     ).unionByName(refit)
     return support, new_doc_level
+
+
+def triple_support_decremental(
+    existing: DataFrame,
+    doc_level: DataFrame,
+    deleted_doc_ids: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a batch of DOCUMENT RETRACTIONS out of the maintained support
+    table — the deletion twin of ``triple_support_incremental`` (adds)
+    and the chain-mate of ``components_decremental`` (edge retractions):
+    when source documents are withdrawn (takedowns, un-publications,
+    extraction corrections), every triple they witnessed must decrement,
+    its ``first_doc`` witness pointer may need to move to the next
+    surviving doc, and triples with no surviving witness must drop.
+
+    Counts cannot simply subtract from the aggregate: ``first_doc`` is a
+    MIN, so losing the current witness requires the surviving docs —
+    which is exactly what the maintained ``doc_level`` table holds.
+
+      1. drop the deleted rows: one anti-join of ``doc_level`` on the
+         (delta-bounded, broadcastable) deleted doc_id dim;
+      2. affected keys = triples the deleted docs witnessed (delta-
+         bounded: rows-of-deleted-docs, one semi-join);
+      3. re-aggregate ONLY the affected keys from their surviving rows;
+         keys with zero survivors vanish (no zero-count tombstones);
+      4. splice: every unaffected support row verbatim.
+
+    Returns ``(support, doc_level)`` — equal to ``triple_support`` /
+    ``doc_triples`` recomputed on the surviving corpus (pinned by
+    pytest). Deleting an unknown doc_id is a no-op. The affected-key
+    joins are left to AQE like the resupport splice above (a hub doc
+    can witness many triples).
+    """
+    ids = F.broadcast(
+        deleted_doc_ids.select(F.col(deleted_doc_ids.columns[0]).alias("doc_id"))
+        .distinct()
+    )
+    affected = doc_level.join(ids, "doc_id").select("s", "p", "o").distinct()
+    surviving = doc_level.join(ids, "doc_id", "left_anti")
+    refit = surviving.join(affected, ["s", "p", "o"], "left_semi")
+    support = existing.join(
+        affected, ["s", "p", "o"], "left_anti"
+    ).unionByName(_support_agg(refit))
+    return support, surviving

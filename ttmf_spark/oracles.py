@@ -44,10 +44,12 @@ SELECT DISTINCT s, p, o FROM (
 """
 
 
-def kg_triple_support_sql() -> str:
+def kg_triple_support_sql(doc_pred: str = "TRUE") -> str:
     """Per-triple provenance: distinct supporting docs + min supporting
     doc_id per planted canonical triple (twin of pipeline.triple_support;
-    every doc is 'D' || the orderkey whose spans assert the triple)."""
+    every doc is 'D' || the orderkey whose spans assert the triple).
+    ``doc_pred`` filters the witnessing docs — the retraction twin
+    (kg_support_retract) passes the portable-hash deletion predicate."""
     return f"""
 WITH {_OC}, {_LI},
 dt AS (
@@ -65,10 +67,22 @@ dt AS (
     UNION ALL SELECT 'S' || s_suppkey, 'in_nation', 'N' || s_nationkey,
            'D' || l_orderkey FROM li
   ) t
+  WHERE {doc_pred}
 )
 SELECT s, p, o, COUNT(*) AS n_docs, MIN(doc) AS first_doc
 FROM dt GROUP BY s, p, o
 """
+
+
+def kg_support_retract_sql(seed: int = 13, mod: int = 4, residue: int = 1) -> str:
+    """Twin of queries.q_kg_support_retract: full support recompute with
+    the deterministically-deleted docs (portable md5 hash of doc_id)
+    excluded from the witness set."""
+    pred = (
+        f"NOT (('0x' || substr(md5('{seed}|' || doc), 1, 15))::BIGINT"
+        f" % {mod} = {residue})"
+    )
+    return kg_triple_support_sql(doc_pred=pred)
 
 
 def raw_spans_sql() -> str:

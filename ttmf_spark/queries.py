@@ -1140,6 +1140,34 @@ def q_kg_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components_incremental(base_labels, delta)
 
 
+def q_kg_support_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-retraction support maintenance
+    (pipeline.triple_support_decremental): a deterministic md5-hash
+    subset (1/4, residue 1, seed 13 — portable) of the corpus docs is
+    withdrawn from a fully-built support table; affected triples
+    re-aggregate from their SURVIVING witnesses in the maintained
+    doc-level table (counts decrement, first_doc pointers move,
+    zero-witness triples drop), unaffected rows verbatim. Oracle = full
+    support recompute with the deleted docs excluded from the witness
+    set."""
+    from ttmf_spark.extract.pipeline import (
+        doc_triples,
+        triple_support,
+        triple_support_decremental,
+    )
+
+    docs = corpus.interleaved_docs(spark, sf_dir)
+    gaz = corpus.gazetteer(spark, sf_dir)
+    same = corpus.same_as_edges(spark, sf_dir)
+    existing = triple_support(docs, gaz, same_as=same)
+    doc_level = doc_triples(docs, gaz, same_as=same)
+    deleted = docs.select("doc_id").filter(
+        (_h(["doc_id"], seed=13) % F.lit(4)) == F.lit(1)
+    )
+    support, _ = triple_support_decremental(existing, doc_level, deleted)
+    return support
+
+
 def q_kg_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-side label maintenance (canonicalize.components_decremental):
     a deterministic md5-hash subset (1/8, residue 3, seed 11 — portable,
