@@ -1147,6 +1147,59 @@ def test_rerank_after_delta_matches_full_recompute(spark):
             assert m[k] == v
 
 
+def test_rerank_after_deletion_matches_full_recompute(spark):
+    """The DELETION side of rank maintenance: retracting edges shrinks
+    subgraphs (and can strand a core entirely). Post-delta reach scoping
+    is sufficient for a whole deletion batch (the first deleted edge on
+    any broken path keeps a reachable src), and the pre ∪ post union
+    (scope_reach) is the belt-and-braces route — both must equal the
+    full cold recompute on the shrunk graph, with the untouched
+    cluster's rows bit-verbatim and subgraphs built from the post reach
+    alone (a union THERE would graft stale nodes' edges in)."""
+    small = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 2), (2, 0, 3), (3, 0, 0),
+         (10, 0, 11), (11, 0, 12), (12, 0, 10)],
+        ["h", "r", "t"],
+    )
+    extra = spark.createDataFrame([(11, 1, 13), (13, 0, 10)], ["h", "r", "t"])
+    big = small.unionByName(extra)
+    cores = spark.createDataFrame([(0,), (10,), (13,)], ["core"])
+
+    def full(tr):
+        adj = graph.build_adjacency(tr)
+        ew = graph.weighted_edges(adj)
+        reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+        sg = graph.subgraph_edges(ew, reach, depth=4).localCheckpoint(
+            eager=True
+        )
+        nodes = graph.subgraph_nodes(sg, cores)
+        patched = pagerank.patched_edges(sg, nodes)
+        return ew, reach, pagerank.pagerank_iterative(patched, nodes)
+
+    _, reach_pre, prev = full(big)
+    prev = prev.localCheckpoint(eager=True)
+    ew_post, reach_post, cold = full(small)
+
+    deleted = extra.select(F.col("h").alias("src"), F.col("t").alias("dst"))
+    scope = reach_pre.unionByName(reach_post)
+    aff_union = pagerank.affected_cores(scope, deleted, depth=4)
+    assert sorted(r["core"] for r in aff_union.collect()) == [10, 13]
+
+    c = {(r["core"], r["node"]): r["pr"] for r in cold.collect()}
+    p = {(r["core"], r["node"]): r["pr"] for r in prev.collect()}
+    for kw in ({}, {"scope_reach": scope}):
+        maint = pagerank.rerank_after_delta(
+            ew_post, reach_post, cores, prev, deleted, depth=4, **kw
+        )
+        m = {(r["core"], r["node"]): r["pr"] for r in maint.collect()}
+        assert set(c) == set(m)
+        for k in c:
+            assert m[k] == pytest.approx(c[k], abs=1e-4)
+        for k, v in p.items():
+            if k[0] == 0:
+                assert m[k] == v  # untouched cluster kept verbatim
+
+
 def test_pagerank_convergence_stop_matches_fixed_sweeps(spark, tiny_ids):
     """The production convergence-stop PageRank (the one rows-only
     driver query, q_kg_pagerank) equals the hash-gated fixed-20-sweep

@@ -383,6 +383,7 @@ def rerank_after_delta(
     max_iter: int = MAX_ITER,
     min_delta: float = MIN_DELTA,
     use_routed: bool = False,
+    scope_reach: DataFrame | None = None,
 ) -> DataFrame:
     """Maintain (core, node, pr) after a delta edge batch: re-rank ONLY
     affected cores, warm-started from the previous snapshot's ranks.
@@ -395,6 +396,18 @@ def rerank_after_delta(
     full cold recompute on the post-delta graph (pinned by
     tests/test_kg.py::test_rerank_after_delta_matches_full_recompute).
 
+    ``scope_reach`` is used ONLY for affected-core scoping (default: the
+    post-delta ``reach``). Post-delta scoping provably covers whole
+    deletion batches too — on any core->...->deleted-edge path, the FIRST
+    deleted edge's src keeps its intact prefix and so stays in post
+    reach, and that edge is in the batch — but when maintenance folds
+    several interleaved add/delete batches between reach refreshes, pass
+    the pre ∪ post union here as the belt-and-braces scope. Subgraphs
+    always build from the post-delta ``reach`` alone (a union there would
+    graft now-unreachable nodes' out-edges into the re-ranked
+    subgraphs). Deletion equality under both scopes is pinned by
+    test_rerank_after_deletion_matches_full_recompute.
+
     Work is bounded by the affected-core subgraphs, not the graph: the
     steady-state maintenance cost of the 10^12-doc rank table as
     extraction batches land (completes ST1 ingestion + N18 label folding
@@ -402,7 +415,9 @@ def rerank_after_delta(
     """
     from . import graph
 
-    aff = affected_cores(reach, delta_edges, depth=depth).unionByName(
+    aff = affected_cores(
+        reach if scope_reach is None else scope_reach, delta_edges, depth=depth
+    ).unionByName(
         cores.join(prev_ranks.select("core").distinct(), "core", "left_anti")
     ).distinct().localCheckpoint(eager=True)
 
