@@ -701,6 +701,24 @@ def main() -> None:
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # round-4 retraction maintenance: deletion-side CC splice and
+    # doc-retraction support re-aggregation — both delta-scoped; the
+    # broadcast expectation pins the affected-set joins staying dim-sided
+    audit(
+        "kg_components_retract",
+        Q.q_kg_components_retract(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    audit(
+        "kg_support_retract",
+        Q.q_kg_support_retract(spark, sf_dir),
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:
