@@ -288,3 +288,67 @@ def test_canonicalize_stream_remap_hook_maintains_support(spark, tmp_path):
     assert got == {
         (r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in want.collect()
     }
+
+
+def test_retraction_stream_matches_batch(spark, tmp_path):
+    """ST6 streaming document retraction (retraction_stream): takedown
+    files land in two drops; the maintained (support, doc_level) state
+    must equal triple_support / doc_triples recomputed on the surviving
+    corpus after the backlog run AND after a resume with a third drop —
+    with a duplicate retraction in the second drop proving no-op
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.extract.pipeline import doc_triples, triple_support
+
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    init_sup = triple_support(docs, gaz, same_as=same).localCheckpoint(
+        eager=True
+    )
+    init_dl = doc_triples(docs, gaz, same_as=same).localCheckpoint(eager=True)
+
+    part = F.pmod(F.crc32("doc_id"), F.lit(6))
+    d0 = docs.filter(part == 0).select("doc_id")
+    d1 = docs.filter(part == 1).select("doc_id")
+    d2 = docs.filter(part == 2).select("doc_id")
+    assert d0.count() > 0 and d1.count() > 0 and d2.count() > 0
+
+    in_dir = str(tmp_path / "retract_in")
+    state = str(tmp_path / "retract_state")
+    ck = str(tmp_path / "retract_ck")
+    d0.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    # second drop retracts d1 AND replays d0 (duplicate delivery)
+    d1.unionByName(d0).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = streaming.retraction_stream(
+        spark, in_dir, state, ck, init_sup, init_dl, max_files=1
+    )
+    q.awaitTermination(300)
+    sup, dl = streaming.read_support_state(spark, state)
+    kept = docs.filter(~part.isin(0, 1))
+    want = triple_support(kept, gaz, same_as=same)
+    f = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in sup.collect()}
+    w = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in want.collect()}
+    assert f == w
+
+    # third drop after a stop: the restarted query folds only the new file
+    d2.coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming.retraction_stream(
+        spark, in_dir, state, ck, init_sup, init_dl, max_files=1
+    )
+    q.awaitTermination(300)
+    sup2, dl2 = streaming.read_support_state(spark, state)
+    kept2 = docs.filter(~part.isin(0, 1, 2))
+    want2 = triple_support(kept2, gaz, same_as=same)
+    f2 = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in sup2.collect()}
+    w2 = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in want2.collect()}
+    assert f2 == w2
+    # the maintained doc-level table matches its from-scratch twin too
+    dlf = sorted(map(tuple, dl2.select("doc_id", "s", "p", "o").collect()))
+    dlw = sorted(
+        map(tuple, doc_triples(kept2, gaz, same_as=same)
+            .select("doc_id", "s", "p", "o").collect())
+    )
+    assert dlf == dlw

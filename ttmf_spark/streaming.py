@@ -565,6 +565,97 @@ def canonicalize_stream(
     return writer.start()
 
 
+RETRACTION_SCHEMA = "doc_id string"
+_SUPPORT_SCHEMA = "s string, p string, o string, n_docs bigint, first_doc string"
+_DOC_LEVEL_SCHEMA = "doc_id string, s string, p string, o string"
+
+
+def read_support_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The CURRENT maintained (support, doc_level) pair: the highest
+    committed version under the retraction-stream sink."""
+    versions = _list_label_versions(spark, f"{state_dir}/support")
+    if not versions:
+        raise FileNotFoundError(f"no support versions under {state_dir}")
+    v = versions[-1]
+    return (
+        spark.read.schema(_SUPPORT_SCHEMA).parquet(f"{state_dir}/support/v={v}"),
+        spark.read.schema(_DOC_LEVEL_SCHEMA).parquet(
+            f"{state_dir}/doc_level/v={v}"
+        ),
+    )
+
+
+def retraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    init_support: DataFrame,
+    init_doc_level: DataFrame,
+    trigger_once: bool = True,
+    max_files: int = 16,
+):
+    """ST6 — streaming document retraction: as takedown/correction files
+    (doc_id rows, RETRACTION_SCHEMA) land, maintain the (support,
+    doc_level) provenance pair by folding each micro-batch OUT with
+    ``extract.pipeline.triple_support_decremental`` — affected triples
+    re-aggregate from their surviving witnesses, zero-witness triples
+    drop, unaffected rows splice verbatim; the corpus is never rescanned.
+
+    The streaming twin of ST1's append side and the third consumer of
+    the versioned-state contract ``canonicalize_stream`` established:
+    each batch writes ``{state_dir}/{support,doc_level}/v={batch_id}``
+    (mode overwrite) and folds from the highest version STRICTLY BELOW
+    its own id — a replayed batch rebuilds from the same predecessor and
+    overwrites its own partial output, idempotent by construction. The
+    first batch folds from the caller's ``init_support``/
+    ``init_doc_level`` (the batch-built tables). After any prefix of the
+    stream the served state equals ``triple_support`` recomputed on the
+    surviving corpus (pinned by tests/test_streaming.py). Retraction of
+    an unknown or already-retracted doc_id is a no-op, so duplicate
+    deliveries are safe.
+    """
+    from ttmf_spark.extract.pipeline import triple_support_decremental
+
+    sdf = (
+        spark.readStream.schema(RETRACTION_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        prior = [
+            v
+            for v in _list_label_versions(spark, f"{state_dir}/support")
+            if v < batch_id
+        ]
+        if prior:
+            sup = spark.read.schema(_SUPPORT_SCHEMA).parquet(
+                f"{state_dir}/support/v={prior[-1]}"
+            )
+            dl = spark.read.schema(_DOC_LEVEL_SCHEMA).parquet(
+                f"{state_dir}/doc_level/v={prior[-1]}"
+            )
+        else:
+            sup, dl = init_support, init_doc_level
+        new_sup, new_dl = triple_support_decremental(sup, dl, batch_df)
+        new_sup.write.mode("overwrite").parquet(
+            f"{state_dir}/support/v={batch_id}"
+        )
+        new_dl.write.mode("overwrite").parquet(
+            f"{state_dir}/doc_level/v={batch_id}"
+        )
+
+    writer = sdf.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def cms_stream(
     spark: SparkSession,
     input_dir: str,
