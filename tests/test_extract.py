@@ -437,3 +437,71 @@ def test_resupport_after_merge_matches_full_recompute(spark):
     assert {(r.doc_id, r.s, r.p, r.o) for r in new_doc.collect()} == {
         (r.doc_id, r.s, r.p, r.o) for r in want_doc.collect()
     }
+
+
+def test_resupport_from_docs_handles_splits(spark):
+    """The split case the merge hook CANNOT express: alias-edge
+    retractions split clusters, one old canonical label maps to several
+    new ones, and the canonical-id doc_level rows don't remember which
+    branch each mention belongs to. resupport_from_docs re-extracts the
+    affected documents under the post-split mapping — the maintained
+    tables must equal triple_support / doc_triples rebuilt from scratch
+    under the surviving alias graph."""
+    from ttmf_spark.extract.canonicalize import (
+        components_decremental,
+        label_remap,
+    )
+    from ttmf_spark.extract.pipeline import (
+        _support_agg,
+        doc_triples,
+        resupport_from_docs,
+        triple_support,
+    )
+
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    # retract ~1/3 of the alias edges: chains C{k}A - C{k}B - C{k} lose
+    # one hop and genuinely split
+    is_del = F.crc32(F.concat_ws("|", "src", "dst")) % 3 == 1
+    deleted = same.filter(is_del)
+    surviving = same.filter(~is_del)
+    assert deleted.count() > 0
+
+    full_labels = connected_components(same).localCheckpoint(eager=True)
+    doc_level = doc_triples(docs, gaz, same_as=same).localCheckpoint(eager=True)
+    support = _support_agg(doc_level).localCheckpoint(eager=True)
+
+    new_labels = components_decremental(
+        full_labels, same, deleted
+    ).localCheckpoint(eager=True)
+    remap = label_remap(full_labels, new_labels).localCheckpoint(eager=True)
+    assert remap.count() > 0  # labels really changed (splits happened)
+    mapping = new_labels.select(
+        F.col("node").alias("entity"), F.col("component").alias("canonical")
+    )
+    new_support, new_doc = resupport_from_docs(
+        support, doc_level, remap, docs, gaz, mapping
+    )
+
+    want_support = triple_support(docs, gaz, mapping=mapping)
+    got = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in new_support.collect()}
+    want = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in want_support.collect()}
+    assert got == want
+    # the split moved at least one triple to a new canonical key
+    old = {(r.s, r.p, r.o) for r in support.collect()}
+    assert set(got) - old
+
+    want_doc = doc_triples(docs, gaz, mapping=mapping)
+    assert {(r.doc_id, r.s, r.p, r.o) for r in new_doc.collect()} == {
+        (r.doc_id, r.s, r.p, r.o) for r in want_doc.collect()
+    }
+    # and the surviving-graph mapping equals a cold CC on surviving edges
+    # for every node the maintained labeling knows (the decremental
+    # contract resupport_from_docs builds on)
+    cold = {
+        r.node: r.component
+        for r in connected_components(surviving).collect()
+    }
+    for r in new_labels.collect():
+        assert cold.get(r.node, r.node) == r.component

@@ -313,6 +313,138 @@ def test_compact_partitioned_restores_one_file_per_bucket(spark, tmp_path):
     assert not glob.glob(path + ".bak") and not glob.glob(path + ".compacting")
 
 
+def test_compact_partitioned_self_heals_crash_residue(spark, tmp_path):
+    """Both crash residues of the two-rename swap recover at next entry:
+    a crash between the renames (no <path>, .bak holds the table) rolls
+    the backup forward; a crash before .bak cleanup (intact <path> plus
+    stale .bak) clears the stale dir instead of failing the next
+    rename."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.io_util import compact_partitioned, write_partitioned
+
+    df = spark.range(200).select(
+        F.concat(F.lit("S"), (F.col("id") % 37).cast("string")).alias("s"),
+        F.col("id").cast("string").alias("o"),
+    )
+    path = str(tmp_path / "t")
+    write_partitioned(df, path, bucket_col="s", n_buckets=4, sort_cols=["s", "o"])
+    write_partitioned(df, path, bucket_col="s", n_buckets=4,
+                      sort_cols=["s", "o"], mode="append")
+    want = sorted(map(tuple, spark.read.parquet(path).select("s", "o").collect()))
+
+    # crash between the renames: only .bak exists
+    os.rename(path, path + ".bak")
+    compact_partitioned(spark, path, sort_cols=["s", "o"])
+    assert sorted(
+        map(tuple, spark.read.parquet(path).select("s", "o").collect())
+    ) == want
+    assert not glob.glob(path + ".bak")
+
+    # crash after the second rename, before cleanup: stale .bak remains
+    shutil.copytree(path, path + ".bak")
+    compact_partitioned(spark, path, sort_cols=["s", "o"])
+    assert sorted(
+        map(tuple, spark.read.parquet(path).select("s", "o").collect())
+    ) == want
+    assert not glob.glob(path + ".bak")
+
+
+def test_compact_partitioned_versioned_object_store_safe(spark, tmp_path):
+    """The rename-free versioned twin: same four contract assertions as
+    the rename swap (file count restored to one per bucket, same bucket
+    dirs, row multiset preserved, within-file sort + dir purity), PLUS
+    the object-store crash contract — an uncommitted version dir (no
+    _SUCCESS) is invisible to readers and compaction, and the previous
+    committed version survives the compaction for racing readers."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.io_util import (
+        committed_versions,
+        compact_partitioned_versioned,
+        read_partitioned_current,
+        write_partitioned_versioned,
+    )
+
+    n_buckets = 8
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("S"), (F.col("id") % 97).cast("string")).alias("s"),
+            F.concat(F.lit("P"), (F.col("id") % 5).cast("string")).alias("p"),
+            F.col("id").cast("string").alias("o"),
+        )
+
+    root = str(tmp_path / "vtab")
+    v0 = write_partitioned_versioned(
+        batch(0, 300), root, bucket_col="s", n_buckets=n_buckets,
+        sort_cols=["s", "p", "o"],
+    )
+    assert v0 == 0 and committed_versions(spark, root) == [0]
+    # incremental folds append files into the CURRENT version dir
+    from ttmf_spark.io_util import write_partitioned
+
+    for lo in (300, 600, 900):
+        write_partitioned(batch(lo, lo + 300), f"{root}/v=0", bucket_col="s",
+                          n_buckets=n_buckets, sort_cols=["s", "p", "o"],
+                          mode="append")
+    want = sorted(map(
+        tuple, read_partitioned_current(spark, root).select("s", "p", "o").collect()
+    ))
+    per_dir = {
+        d: len(glob.glob(d + "/*.parquet"))
+        for d in glob.glob(root + "/v=0/bucket=*")
+    }
+    assert max(per_dir.values()) > 1
+
+    # a crashed writer's residue: a version dir with data but no _SUCCESS
+    import os
+    import shutil
+
+    shutil.copytree(root + "/v=0", root + "/v=7")
+    os.remove(root + "/v=7/_SUCCESS")
+    assert committed_versions(spark, root) == [0]  # invisible
+
+    n_before = compact_partitioned_versioned(spark, root, sort_cols=["s", "p", "o"])
+    assert n_before == sum(per_dir.values())
+    assert committed_versions(spark, root) == [0, 1]  # previous retained
+    cur = root + "/v=1"
+    per_dir2 = {
+        d: len(glob.glob(d + "/*.parquet"))
+        for d in glob.glob(cur + "/bucket=*")
+    }
+    assert set(per_dir2.values()) == {1}
+    assert {os.path.basename(d) for d in per_dir2} == {
+        os.path.basename(d) for d in per_dir
+    }
+    got = sorted(map(
+        tuple, read_partitioned_current(spark, root).select("s", "p", "o").collect()
+    ))
+    assert got == want
+    for f in sorted(glob.glob(cur + "/bucket=*/*.parquet")):
+        dir_bucket = int(f.split("bucket=")[1].split("/")[0])
+        t = pq.read_table(f)
+        rows = list(zip(t["s"].to_pylist(), t["p"].to_pylist(), t["o"].to_pylist()))
+        hb = {r["b"] for r in spark.createDataFrame(
+            [(s,) for s, _, _ in set(rows)], "s string"
+        ).select(F.pmod(F.xxhash64("s"), F.lit(n_buckets)).alias("b")).collect()}
+        assert hb == {dir_bucket}
+        assert rows == sorted(rows)
+    # a second compaction prunes beyond keep=2: v=0 goes, readers move on
+    compact_partitioned_versioned(spark, root, sort_cols=["s", "p", "o"])
+    assert committed_versions(spark, root) == [1, 2]
+    assert sorted(map(
+        tuple, read_partitioned_current(spark, root).select("s", "p", "o").collect()
+    )) == want
+
+
 def test_incremental_maintenance_chain_matches_full_recompute(spark):
     """The whole incremental story composes: a new doc batch folds into
     every long-lived table WITHOUT rescanning the base corpus, and each

@@ -267,7 +267,13 @@ def components_decremental(
     keeps every node it has ever seen, exactly like the incremental fold.
     Splits change canonical ids for the NON-min side, so downstream
     maintained tables re-key through ``label_remap(old, new)`` +
-    ``resupport_after_merge`` — the same hook the merge path uses.
+    ``pipeline.resupport_from_docs`` — NOT the merge hook
+    (``resupport_after_merge``): a split maps one old label to several
+    new ones, and the canonical-id doc_level rows no longer remember
+    which branch each mention belongs to, so the affected documents must
+    re-extract under the new mapping (see resupport_from_docs' docstring
+    for the full argument; equality pinned by the composed-lifecycle
+    pytest + the kg_maintenance_e2e driver oracle).
 
     ``deleted_edges`` matches rows by their stored (src, dst) orientation
     (delete what was inserted); deleting an absent edge is a no-op.

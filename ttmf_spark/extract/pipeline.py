@@ -55,6 +55,7 @@ def doc_triples(
     docs: DataFrame,
     gazetteer: DataFrame,
     same_as: DataFrame | None = None,
+    mapping: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(doc_id, s, p, o) provenance rows, distinct — the doc-level
     evidence table behind ``triple_support`` and the maintained state
@@ -66,14 +67,20 @@ def doc_triples(
     Same dataflow as ``extract_triples`` with doc_id carried through
     assembly; the per-(doc, triple) dedup hashes on the full
     (doc_id, s, p, o) key, so hub entities do not skew the shuffle.
+
+    ``mapping`` short-circuits the alias-graph CC: pass a maintained
+    (entity, canonical) table (e.g. ``components_incremental`` labels
+    renamed) instead of re-deriving it from ``same_as`` — the
+    maintenance chain's route, where the labeling is long-lived state.
     """
     with_doc = assemble_triples_wide_with_doc(
         link_entities_wide(
             detect_mentions_wide(flatten_docs(docs)), gazetteer, WIDE_SLOTS
         )
     )
-    if same_as is not None:
+    if mapping is None and same_as is not None:
         mapping = canonical_map(same_as)
+    if mapping is not None:
         # canonical ids can merge per-doc rows -> re-dedup per (doc, triple)
         with_doc = apply_canonical(
             with_doc, mapping, ["s", "o"]
@@ -92,6 +99,7 @@ def triple_support(
     docs: DataFrame,
     gazetteer: DataFrame,
     same_as: DataFrame | None = None,
+    mapping: DataFrame | None = None,
 ) -> DataFrame:
     """Per-triple provenance: (s, p, o, n_docs, first_doc) where n_docs
     counts the distinct documents whose spans assert the canonical triple
@@ -103,9 +111,12 @@ def triple_support(
     100 TB corpus offers (a fact asserted by 10^6 documents vs 1), and
     first_doc gives audits a concrete witness. The final (s, p, o)
     aggregation hashes on the full triple key, so hub entities do not
-    skew it; see ``doc_triples`` for the doc-level dataflow.
+    skew it; see ``doc_triples`` for the doc-level dataflow (and the
+    ``mapping`` shortcut for maintained labelings).
     """
-    return _support_agg(doc_triples(docs, gazetteer, same_as=same_as))
+    return _support_agg(
+        doc_triples(docs, gazetteer, same_as=same_as, mapping=mapping)
+    )
 
 
 def triple_support_incremental(
@@ -113,6 +124,7 @@ def triple_support_incremental(
     delta_docs: DataFrame,
     gazetteer: DataFrame,
     same_as: DataFrame | None = None,
+    mapping: DataFrame | None = None,
 ) -> DataFrame:
     """Fold a NEW doc batch into an existing (s, p, o, n_docs, first_doc)
     support table without rescanning the corpus.
@@ -140,7 +152,7 @@ def triple_support_incremental(
     Pinned by tests/test_extract.py: fold(base, delta) equals
     ``triple_support`` recomputed on the union corpus.
     """
-    delta = triple_support(delta_docs, gazetteer, same_as=same_as)
+    delta = triple_support(delta_docs, gazetteer, same_as=same_as, mapping=mapping)
     e = existing.select(
         "s", "p", "o",
         F.col("n_docs").alias("_n_e"), F.col("first_doc").alias("_f_e"),
@@ -291,3 +303,71 @@ def triple_support_decremental(
         affected, ["s", "p", "o"], "left_anti"
     ).unionByName(_support_agg(refit))
     return support, surviving
+
+
+def resupport_from_docs(
+    existing: DataFrame,
+    doc_level: DataFrame,
+    remap: DataFrame,
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    mapping: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-key a maintained support table after a canonical-mapping change
+    that can SPLIT clusters — the deletion-side completion of
+    ``resupport_after_merge``, which is correct for merges ONLY.
+
+    Why the merge hook cannot handle a split: the maintained
+    ``doc_level`` stores CANONICAL ids, so a row (doc, C, p, o) no longer
+    remembers whether the underlying mention was the min-member entity
+    (which keeps label C after the split) or an alias that moved to the
+    split-off cluster (new label D). ``label_remap`` for a split maps one
+    old label to several new ones — no label-level join can pick the
+    right branch per row. The only exact source of truth is the corpus:
+    re-extract the AFFECTED DOCUMENTS under the new mapping and splice at
+    document granularity.
+
+      1. affected old labels = ``remap.old`` (delta-bounded, broadcast);
+      2. affected docs = doc_level rows touching an affected label on s
+         or o — one broadcast-filtered pass, file-pruned on a bucketed/
+         Iceberg layout;
+      3. re-extract ``doc_triples`` for those docs only, under the NEW
+         ``mapping`` (a maintained (entity, canonical) labeling — e.g.
+         ``components_decremental`` output renamed);
+      4. splice doc-wise: unaffected docs' rows verbatim, affected docs'
+         rows replaced wholesale; re-aggregate support for every key that
+         appears in a dropped or re-extracted row, keep the rest verbatim.
+
+    Returns ``(support, doc_level)`` equal to ``triple_support`` /
+    ``doc_triples`` rebuilt from scratch on the full corpus under the new
+    mapping (pinned by pytest + the kg_maintenance_e2e driver oracle).
+
+    Scale shape: cost is bounded by the affected documents (the docs that
+    mention a relabeled entity), not the corpus — the corpus scan in step
+    3 is a doc_id point-lookup set (partition-pruned on an Iceberg
+    doc_id-keyed table). Works for merges too (it is the general exact
+    hook); ``resupport_after_merge`` remains the cheaper label-level path
+    when the delta only merges.
+    """
+    old_labels = F.broadcast(remap.select(F.col("old").alias("lab")).distinct())
+    touched = doc_level.join(
+        old_labels.select(F.col("lab").alias("s")), "s", "left_semi"
+    ).unionByName(
+        doc_level.join(old_labels.select(F.col("lab").alias("o")), "o", "left_semi")
+    )
+    aff_docs = touched.select("doc_id").distinct().localCheckpoint(eager=True)
+    dropped = doc_level.join(aff_docs, "doc_id", "left_semi")
+    kept_doc = doc_level.join(aff_docs, "doc_id", "left_anti")
+    redo = doc_triples(
+        docs.join(aff_docs, "doc_id", "left_semi"), gazetteer, mapping=mapping
+    )
+    new_doc_level = kept_doc.unionByName(redo)
+    aff_keys = (
+        dropped.select("s", "p", "o")
+        .unionByName(redo.select("s", "p", "o"))
+        .distinct()
+    )
+    support = existing.join(aff_keys, ["s", "p", "o"], "left_anti").unionByName(
+        _support_agg(new_doc_level.join(aff_keys, ["s", "p", "o"], "left_semi"))
+    )
+    return support, new_doc_level

@@ -98,13 +98,32 @@ def compact_partitioned(
     ordering contract (same duplicates-never-loss style the batched
     path resume pins): a crash always leaves at least one complete copy
     — before the first rename the original is untouched; between the
-    renames ``.bak`` is the complete table; after, ``path`` is.
+    renames ``.bak`` is the complete table; after, ``path`` is — and
+    entry self-heals both crash residues: a stale ``.bak`` next to an
+    intact ``path`` is cleared, and a missing ``path`` with a ``.bak``
+    rolls the backup forward before compacting.
     Readers racing the swap must re-list (document as the non-Iceberg
     deployment caveat).
+
+    LOCAL-FILESYSTEM ONLY: this function uses ``os.rename``/``glob``
+    directly, so it works on a driver-local (POSIX) path and nowhere
+    else — on an object-store URI there is no rename (and Hadoop's
+    emulation is non-atomic copy+delete). For s3/hdfs deployments use
+    the versioned-directory pair ``write_partitioned_versioned`` /
+    ``compact_partitioned_versioned`` below (no renames at all), or
+    real Iceberg ``rewriteDataFiles``.
     """
     import glob
     import os
     import shutil
+
+    bak_pre = path + ".bak"
+    if not os.path.exists(path) and os.path.exists(bak_pre):
+        # crash landed between the two renames: .bak is the complete table
+        os.rename(bak_pre, path)
+    elif os.path.exists(bak_pre):
+        # crash landed after the second rename, before cleanup
+        shutil.rmtree(bak_pre, ignore_errors=True)
 
     before = len(glob.glob(os.path.join(path, "bucket=*", "*")))
     df = getattr(spark.read, fmt)(path)
@@ -121,4 +140,114 @@ def compact_partitioned(
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)
+    return before
+
+
+# --- object-store-safe versioned layout -------------------------------------
+#
+# The rename-free twin of write_partitioned/compact_partitioned for
+# deployments without POSIX renames (s3/gcs; also correct on hdfs/local).
+# Layout: <root>/v=<n>/bucket=*/part-*.parquet. A version COMMITS when its
+# Spark write finishes (the _SUCCESS marker the committer drops at
+# <root>/v=<n>/_SUCCESS); readers resolve "current" as the highest
+# committed version — the same versioned-sink contract the streaming label
+# / support state stores use (streaming._list_label_versions), so a crash
+# mid-write leaves an uncommitted v-dir that every reader ignores and the
+# next writer's version counter skips past. No pointer file, no rename,
+# no crash window: every observable state is a complete table.
+
+
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def committed_versions(spark, root: str) -> list[int]:
+    """Sorted committed version numbers under ``root`` (Hadoop FS API, so
+    s3a/hdfs/file URIs all work): a v=<n> dir counts iff its _SUCCESS
+    marker exists."""
+    fs, jroot, jvm = _fs_for(spark, root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}/_SUCCESS")):
+                out.append(v)
+    return sorted(out)
+
+
+def write_partitioned_versioned(
+    df: DataFrame,
+    root: str,
+    bucket_col: str = "s",
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """``write_partitioned`` into the next version dir of a versioned
+    table root; returns the committed version number. Any uncommitted
+    residue of a crashed writer at the same version is ignored by
+    readers (no _SUCCESS) and overwritten here."""
+    spark = df.sparkSession
+    vs = committed_versions(spark, root)
+    v = (vs[-1] + 1) if vs else 0
+    write_partitioned(
+        df, f"{root}/v={v}", bucket_col=bucket_col, n_buckets=n_buckets,
+        sort_cols=sort_cols, fmt=fmt, mode="overwrite",
+    )
+    return v
+
+
+def read_partitioned_current(spark, root: str, fmt: str = "parquet") -> DataFrame:
+    """The current (= highest committed) version of a versioned table."""
+    vs = committed_versions(spark, root)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    return getattr(spark.read, fmt)(f"{root}/v={vs[-1]}")
+
+
+def compact_partitioned_versioned(
+    spark,
+    root: str,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    keep: int = 2,
+) -> int:
+    """Object-store-safe compaction: rewrite the current version so each
+    bucket dir holds one file again, commit it as the NEXT version, then
+    prune all but the newest ``keep`` committed versions; returns the
+    file count before compaction.
+
+    Crash contract (strictly stronger than the rename swap's): the new
+    version is invisible until its _SUCCESS lands, so a crash at ANY
+    point leaves readers on the old complete version; ``keep >= 2``
+    retains the previous version so a reader that resolved "current"
+    just before the commit still reads a complete table. Re-running
+    after a crash simply writes the next version number — no residue to
+    heal. This is the manifest-swap semantics of Iceberg's
+    ``rewriteDataFiles`` + snapshot expiry, expressed with nothing but
+    listings and immutable version dirs."""
+    vs = committed_versions(spark, root)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    cur = f"{root}/v={vs[-1]}"
+    fs, _, jvm = _fs_for(spark, root)
+    glob_path = jvm.org.apache.hadoop.fs.Path(f"{cur}/bucket=*/*")
+    before = len(fs.globStatus(glob_path))
+    df = getattr(spark.read, fmt)(cur)
+    out = df.repartition(F.col("bucket"))
+    if sort_cols:
+        out = out.sortWithinPartitions("bucket", *sort_cols)
+    getattr(out.write.mode("overwrite").partitionBy("bucket"), fmt)(
+        f"{root}/v={vs[-1] + 1}"
+    )
+    for v in committed_versions(spark, root)[:-keep]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
     return before

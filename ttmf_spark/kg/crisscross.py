@@ -509,6 +509,11 @@ def _emb_block(epdf: pd.DataFrame, kind: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _remap_ids(sorted_ids: np.ndarray, arr: np.ndarray) -> np.ndarray:
+    if len(sorted_ids) == 0:
+        # an externally supplied emb_tables shard with zero rows of this
+        # kind would otherwise hit an obscure IndexError below
+        missing = np.unique(np.asarray(arr))
+        raise ValueError(f"embedding table missing rows for ids {missing[:10]}")
     idx = np.minimum(np.searchsorted(sorted_ids, arr), len(sorted_ids) - 1)
     if not np.array_equal(sorted_ids[idx], arr):
         missing = np.unique(np.asarray(arr)[sorted_ids[idx] != arr])

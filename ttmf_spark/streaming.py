@@ -574,7 +574,10 @@ def read_support_state(
     spark: SparkSession, state_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """The CURRENT maintained (support, doc_level) pair: the highest
-    committed version under the retraction-stream sink."""
+    committed version under the retraction-stream sink. The support dir
+    is the pair's commit marker (the stream writes doc_level first,
+    support last), so any version listed here has a complete doc_level
+    half."""
     versions = _list_label_versions(spark, f"{state_dir}/support")
     if not versions:
         raise FileNotFoundError(f"no support versions under {state_dir}")
@@ -641,11 +644,17 @@ def retraction_stream(
         else:
             sup, dl = init_support, init_doc_level
         new_sup, new_dl = triple_support_decremental(sup, dl, batch_df)
-        new_sup.write.mode("overwrite").parquet(
-            f"{state_dir}/support/v={batch_id}"
-        )
+        # doc_level FIRST, support LAST: version listing (both the
+        # fold-side `prior` probe above and read_support_state) keys off
+        # the support dir, so writing support last makes it the commit
+        # marker for the PAIR — a crash (or a reader racing the batch)
+        # between the two writes can never observe a support version
+        # whose doc_level half is missing or partial
         new_dl.write.mode("overwrite").parquet(
             f"{state_dir}/doc_level/v={batch_id}"
+        )
+        new_sup.write.mode("overwrite").parquet(
+            f"{state_dir}/support/v={batch_id}"
         )
 
     writer = sdf.writeStream.foreachBatch(_process).option(
