@@ -439,6 +439,129 @@ def test_resupport_after_merge_matches_full_recompute(spark):
     }
 
 
+def test_resupport_after_merge_hub_merge_shuffle_join(spark):
+    """Hub-merge stress: a merge whose affected-key set K spans HALF the
+    support table (hub entity on the object side of every row). The
+    remap dim stays broadcast (it is alias-batch-bounded by
+    construction) but K's joins are deliberately left to AQE
+    (pipeline.py's documented design) — with the broadcast threshold
+    floored, the splice must pick a shuffle join for K and still equal
+    the hand-computed merge, shared witnesses counted once."""
+    from ttmf_spark.extract.pipeline import _support_agg, resupport_after_merge
+
+    n = 20_000
+    rows = []
+    for i in range(n):  # hub A witnessed by every doc d{i}
+        rows.append((f"d{i:05d}", f"S{i}", "p", "A"))
+    for i in range(n // 2):  # B shares A's witness doc -> counts once
+        rows.append((f"d{i:05d}", f"S{i}", "p", "B"))
+    for i in range(n // 2, 3 * n // 4):  # B-only witness doc -> count 2
+        rows.append((f"e{i:05d}", f"S{i}", "p", "B"))
+    doc_level = spark.createDataFrame(
+        rows, ["doc_id", "s", "p", "o"]
+    ).repartition(8).localCheckpoint(eager=True)
+    support = _support_agg(doc_level).localCheckpoint(eager=True)
+    remap = spark.createDataFrame([("B", "A")], ["old", "new"])
+
+    conf = spark.conf
+    old_thr = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_adapt = conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1KB")
+        new_support, _ = resupport_after_merge(support, doc_level, remap)
+        plan = new_support._jdf.queryExecution().executedPlan().toString()
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        got = {
+            (r.s, r.p, r.o): (r.n_docs, r.first_doc)
+            for r in new_support.collect()
+        }
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        if old_adapt is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_adapt)
+
+    want = {}
+    for i in range(n):
+        docs_i = {f"d{i:05d}"}
+        if n // 2 <= i < 3 * n // 4:
+            docs_i.add(f"e{i:05d}")
+        want[(f"S{i}", "p", "A")] = (len(docs_i), min(docs_i))
+    assert got == want
+
+
+def test_components_decremental_bucket_pruned_carve(spark, tmp_path):
+    """The deletion path's one corpus-scale touch — the surviving-edge
+    carve — confined to affected bucket directories when the maintained
+    edge table is the write_partitioned bucketed layout: passing
+    io_util.read_bucket_pruned(affected nodes) as all_edges yields the
+    IDENTICAL labeling (the carve only ever needs edges whose src labels
+    to an affected component, and those srcs hash to the affected
+    buckets), while the scan plan prunes on the bucket partition column
+    and the pruned frame reads a strict subset of the rows."""
+    from ttmf_spark.extract.canonicalize import (
+        components_decremental,
+        connected_components,
+    )
+    from ttmf_spark.io_util import read_bucket_pruned, write_partitioned
+
+    n_buckets = 16
+    # 40 disjoint 5-node chains: deleting one edge of chain c splits it
+    edges = [
+        (f"n{c:02d}_{i}", f"n{c:02d}_{i + 1}")
+        for c in range(40)
+        for i in range(4)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    path = str(tmp_path / "edges")
+    write_partitioned(
+        e, path, bucket_col="src", n_buckets=n_buckets,
+        sort_cols=["src", "dst"],
+    )
+    base_labels = connected_components(e).localCheckpoint(eager=True)
+    # retract the middle edge of 3 chains
+    deleted = spark.createDataFrame(
+        [(f"n{c:02d}_2", f"n{c:02d}_3") for c in (0, 7, 21)], ["src", "dst"]
+    )
+    # affected nodes: members of the affected components
+    aff = (
+        deleted.select(F.col("src").alias("node"))
+        .union(deleted.select("dst"))
+        .join(base_labels, "node")
+        .select("component")
+        .distinct()
+    )
+    aff_nodes = base_labels.join(aff, "component", "left_semi").select("node")
+
+    full_scan = spark.read.parquet(path)
+    pruned = read_bucket_pruned(
+        spark, path, aff_nodes, key_col="node", n_buckets=n_buckets
+    )
+    assert pruned.count() < full_scan.count()  # files genuinely skipped
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    got_full = {
+        (r.node, r.component)
+        for r in components_decremental(base_labels, full_scan, deleted).collect()
+    }
+    got_pruned = {
+        (r.node, r.component)
+        for r in components_decremental(base_labels, pruned, deleted).collect()
+    }
+    assert got_pruned == got_full
+    surviving = e.join(deleted, ["src", "dst"], "left_anti")
+    cold = {
+        (r.node, r.component)
+        for r in connected_components(surviving).collect()
+    }
+    assert got_pruned == cold
+
+
 def test_resupport_from_docs_handles_splits(spark):
     """The split case the merge hook CANNOT express: alias-edge
     retractions split clusters, one old canonical label maps to several

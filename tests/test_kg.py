@@ -1200,6 +1200,86 @@ def test_rerank_after_deletion_matches_full_recompute(spark):
                 assert m[k] == v  # untouched cluster kept verbatim
 
 
+def test_rerank_interleaved_add_delete_windows(spark):
+    """The interleaved fold cadence the scope_reach docstring reserves:
+    TWO successive maintenance windows, each mixing edge additions AND
+    deletions before the reach refresh, re-ranked with the pre ∪ post
+    union scope. After each window the maintained table must equal the
+    cold recompute on that window's graph, with the untouched cluster's
+    rows carried bit-verbatim through BOTH windows — the rank-side half
+    of the composed-lifecycle gate."""
+    c_a = [(0, 0, 1), (1, 0, 2), (2, 0, 3), (3, 0, 0)]  # untouched
+    c_b = [(10, 0, 11), (11, 0, 12), (12, 0, 10)]
+    c_c = [(20, 0, 21), (21, 0, 20)]
+    g0 = spark.createDataFrame(c_a + c_b + c_c, ["h", "r", "t"])
+    cores = spark.createDataFrame([(0,), (10,), (20,)], ["core"])
+
+    def full(tr):
+        adj = graph.build_adjacency(tr)
+        ew = graph.weighted_edges(adj)
+        reach = graph.reach_sets(adj, cores, depth=4, checkpoint=False)
+        sg = graph.subgraph_edges(ew, reach, depth=4).localCheckpoint(
+            eager=True
+        )
+        nodes = graph.subgraph_nodes(sg, cores)
+        patched = pagerank.patched_edges(sg, nodes)
+        return ew, reach, pagerank.pagerank_iterative(patched, nodes)
+
+    _, reach0, prev = full(g0)
+    prev = prev.localCheckpoint(eager=True)
+
+    # window 1: B loses (12,10) and gains a detour 12->14->10; C gains 21->22
+    w1_del = [(12, 0, 10)]
+    w1_add = [(12, 1, 14), (14, 0, 10), (21, 1, 22), (22, 0, 20)]
+    g1 = (
+        g0.join(
+            spark.createDataFrame(w1_del, ["h", "r", "t"]), ["h", "r", "t"],
+            "left_anti",
+        ).unionByName(spark.createDataFrame(w1_add, ["h", "r", "t"]))
+    ).localCheckpoint(eager=True)
+    ew1, reach1, cold1 = full(g1)
+    delta1 = spark.createDataFrame(
+        [(h, t) for h, _, t in w1_del + w1_add], ["src", "dst"]
+    )
+    maint1 = pagerank.rerank_after_delta(
+        ew1, reach1, cores, prev, delta1, depth=4,
+        scope_reach=reach0.unionByName(reach1),
+    ).localCheckpoint(eager=True)
+    c1 = {(r["core"], r["node"]): r["pr"] for r in cold1.collect()}
+    m1 = {(r["core"], r["node"]): r["pr"] for r in maint1.collect()}
+    assert set(c1) == set(m1)
+    for k in c1:
+        assert m1[k] == pytest.approx(c1[k], abs=1e-4)
+
+    # window 2: the detour retracts (14 stranded), C's new edge retracts
+    w2_del = [(12, 1, 14), (14, 0, 10), (21, 1, 22)]
+    w2_add = [(12, 2, 10)]
+    g2 = (
+        g1.join(
+            spark.createDataFrame(w2_del, ["h", "r", "t"]), ["h", "r", "t"],
+            "left_anti",
+        ).unionByName(spark.createDataFrame(w2_add, ["h", "r", "t"]))
+    ).localCheckpoint(eager=True)
+    ew2, reach2, cold2 = full(g2)
+    delta2 = spark.createDataFrame(
+        [(h, t) for h, _, t in w2_del + w2_add], ["src", "dst"]
+    )
+    maint2 = pagerank.rerank_after_delta(
+        ew2, reach2, cores, maint1, delta2, depth=4,
+        scope_reach=reach1.unionByName(reach2),
+    )
+    c2 = {(r["core"], r["node"]): r["pr"] for r in cold2.collect()}
+    m2 = {(r["core"], r["node"]): r["pr"] for r in maint2.collect()}
+    assert set(c2) == set(m2)
+    for k in c2:
+        assert m2[k] == pytest.approx(c2[k], abs=1e-4)
+    # untouched cluster verbatim through both windows
+    p = {(r["core"], r["node"]): r["pr"] for r in prev.collect()}
+    for k, v in p.items():
+        if k[0] == 0:
+            assert m1[k] == v and m2[k] == v
+
+
 def test_pagerank_convergence_stop_matches_fixed_sweeps(spark, tiny_ids):
     """The production convergence-stop PageRank (the one rows-only
     driver query, q_kg_pagerank) equals the hash-gated fixed-20-sweep

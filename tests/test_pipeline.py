@@ -445,6 +445,124 @@ def test_compact_partitioned_versioned_object_store_safe(spark, tmp_path):
     )) == want
 
 
+def test_composed_lifecycle_matches_from_scratch(spark, tmp_path):
+    """The maintenance capstone: EVERY event type interleaved across
+    three batches — doc adds (fold), an alias delta that MERGES
+    (components_incremental -> label_remap -> resupport_after_merge),
+    more doc adds under the merged mapping, doc RETRACTIONS
+    (triple_support_decremental), an alias retraction that SPLITS
+    (components_decremental -> resupport_from_docs), then an
+    object-store-safe compaction pass — and the final maintained
+    (support, doc_level) pair equals triple_support / doc_triples
+    rebuilt from scratch on the final corpus under the final alias
+    graph. This is the interleaved fold cadence the scope_reach /
+    resupport docstrings reserve; the driver twin (kg_maintenance_e2e)
+    gates the same flow against a DuckDB cold build at sf0.01."""
+    from tests.conftest import SF_UNIT
+    from ttmf_spark import corpus
+    from ttmf_spark.extract.canonicalize import (
+        components_decremental,
+        components_incremental,
+        connected_components,
+        label_remap,
+    )
+    from ttmf_spark.extract.pipeline import (
+        _support_agg,
+        doc_triples,
+        resupport_after_merge,
+        resupport_from_docs,
+        triple_support,
+        triple_support_decremental,
+        triple_support_incremental,
+    )
+    from ttmf_spark.io_util import (
+        compact_partitioned_versioned,
+        read_partitioned_current,
+        write_partitioned_versioned,
+    )
+
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+
+    batch = F.crc32(F.col("doc_id")) % 3
+    b0, b1, b2 = (docs.filter(batch == i) for i in range(3))
+    is_add = F.crc32(F.concat_ws("|", "src", "dst")) % 3 == 0
+    base_same, delta_add = same.filter(~is_add), same.filter(is_add)
+    deleted_docs = docs.select("doc_id").filter(F.crc32("doc_id") % 5 == 2)
+    retract_al = same.filter(F.crc32(F.concat_ws("|", "src", "dst")) % 4 == 2)
+    for frame in (delta_add, deleted_docs, retract_al):
+        assert frame.count() > 0  # every event type actually fires
+
+    def _map(labels):
+        return labels.select(
+            F.col("node").alias("entity"), F.col("component").alias("canonical")
+        )
+
+    labels = connected_components(base_same).localCheckpoint(eager=True)
+    doc_level = doc_triples(b0, gaz, mapping=_map(labels)).localCheckpoint(True)
+    support = _support_agg(doc_level).localCheckpoint(True)
+
+    support = triple_support_incremental(
+        support, b1, gaz, mapping=_map(labels)
+    ).localCheckpoint(True)
+    doc_level = doc_level.unionByName(
+        doc_triples(b1, gaz, mapping=_map(labels))
+    ).localCheckpoint(True)
+    new_labels = components_incremental(labels, delta_add).localCheckpoint(True)
+    remap = label_remap(labels, new_labels).localCheckpoint(True)
+    assert remap.count() > 0  # the delta really merges clusters
+    support, doc_level = resupport_after_merge(support, doc_level, remap)
+    support, doc_level = (
+        support.localCheckpoint(True), doc_level.localCheckpoint(True)
+    )
+    labels = new_labels
+
+    support = triple_support_incremental(
+        support, b2, gaz, mapping=_map(labels)
+    ).localCheckpoint(True)
+    doc_level = doc_level.unionByName(
+        doc_triples(b2, gaz, mapping=_map(labels))
+    ).localCheckpoint(True)
+    support, doc_level = triple_support_decremental(
+        support, doc_level, deleted_docs
+    )
+    support, doc_level = (
+        support.localCheckpoint(True), doc_level.localCheckpoint(True)
+    )
+    split_labels = components_decremental(
+        labels, same, retract_al
+    ).localCheckpoint(True)
+    remap2 = label_remap(labels, split_labels).localCheckpoint(True)
+    assert remap2.count() > 0  # the retraction really splits clusters
+    surviving = docs.join(F.broadcast(deleted_docs), "doc_id", "left_anti")
+    support, doc_level = resupport_from_docs(
+        support, doc_level, remap2, surviving, gaz, _map(split_labels)
+    )
+
+    root = str(tmp_path / "support")
+    write_partitioned_versioned(
+        support, root, bucket_col="s", n_buckets=8, sort_cols=["s", "p", "o"]
+    )
+    compact_partitioned_versioned(spark, root, sort_cols=["s", "p", "o"])
+    served = read_partitioned_current(spark, root)
+
+    final_same = same.join(retract_al, ["src", "dst"], "left_anti")
+    want_support = triple_support(surviving, gaz, same_as=final_same)
+    got = {
+        (r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in served.collect()
+    }
+    want = {
+        (r.s, r.p, r.o): (r.n_docs, r.first_doc)
+        for r in want_support.collect()
+    }
+    assert got == want
+    want_doc = doc_triples(surviving, gaz, same_as=final_same)
+    assert {(r.doc_id, r.s, r.p, r.o) for r in doc_level.collect()} == {
+        (r.doc_id, r.s, r.p, r.o) for r in want_doc.collect()
+    }
+
+
 def test_incremental_maintenance_chain_matches_full_recompute(spark):
     """The whole incremental story composes: a new doc batch folds into
     every long-lived table WITHOUT rescanning the base corpus, and each

@@ -143,6 +143,44 @@ def compact_partitioned(
     return before
 
 
+def read_bucket_pruned(
+    spark,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Scan a ``write_partitioned`` table touching ONLY the bucket
+    directories that can hold rows whose bucket column (``key_col``)
+    value appears in ``keys`` — partition pruning pushed to the
+    directory listing, the parquet stand-in for Iceberg's bucket-
+    transform partition pruning.
+
+    ``keys`` may be arbitrarily large (affected-subgraph-sized): it is
+    reduced to its distinct BUCKET ids first — at most ``n_buckets``
+    longs, driver-safe by construction — and the scan filters on the
+    ``bucket`` partition column, so unaffected bucket dirs are never
+    listed, opened, or read. The caller still applies its own row-level
+    predicate; this prunes files, not rows.
+
+    The maintenance use (components_decremental): the per-retraction-
+    batch carve joins the maintained edge table against the affected
+    components; when that table is bucketed on ``src``, passing the
+    affected NODES here confines the only corpus-scale touch of the
+    deletion path to the affected buckets (measured at sf0.1 in
+    BENCH.md's maintenance-economics table).
+    """
+    kc = keys.columns[0] if key_col not in keys.columns else key_col
+    bkts = [
+        r["b"]
+        for r in keys.select(
+            F.pmod(F.xxhash64(F.col(kc)), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    ]
+    return getattr(spark.read, fmt)(path).filter(F.col("bucket").isin(bkts))
+
+
 # --- object-store-safe versioned layout -------------------------------------
 #
 # The rename-free twin of write_partitioned/compact_partitioned for

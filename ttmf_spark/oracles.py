@@ -85,6 +85,96 @@ def kg_support_retract_sql(seed: int = 13, mod: int = 4, residue: int = 1) -> st
     return kg_triple_support_sql(doc_pred=pred)
 
 
+def kg_maintenance_e2e_sql(
+    doc_seed: int = 37,
+    doc_mod: int = 5,
+    doc_res: int = 2,
+    al_seed: int = 35,
+    al_mod: int = 4,
+    al_res: int = 2,
+    rounds: int = 4,
+) -> str:
+    """Twin of queries.q_kg_maintenance_e2e: the COLD build of the final
+    state the interleaved maintenance cadence must converge to — support
+    over the surviving docs under the canonical mapping of the surviving
+    alias graph. Raw (pre-canonical) customer ids come from the corpus
+    definition (CustomerAlt surfaces link to C{k}A); the alias CC runs as
+    ``rounds`` pointer-jumping sweeps (chains are 3 nodes, diameter 2);
+    VARCHAR LEAST is the same lexicographic min the star contraction
+    uses ('C10' < 'C10A' < 'C10B'). The doc-batch interleaving (h31%3)
+    and the add-edge holdout (h33%3) exist only on the Spark side — fold
+    order must wash out, which is exactly what this gate proves."""
+    craw = (
+        "CASE WHEN c_custkey % 10 = 0 THEN 'C' || c_custkey || 'A' "
+        "ELSE 'C' || c_custkey END"
+    )
+    doc_pred = (
+        f"NOT (('0x' || substr(md5('{doc_seed}|' || doc), 1, 15))::BIGINT"
+        f" % {doc_mod} = {doc_res})"
+    )
+    al_pred = (
+        f"NOT (('0x' || substr(md5('{al_seed}|' || src || '|' || dst), 1, 15))"
+        f"::BIGINT % {al_mod} = {al_res})"
+    )
+    cc = [
+        "c0 AS (SELECT node, node AS label FROM anodes)",
+    ]
+    for i in range(1, rounds + 1):
+        cc.append(
+            f"c{i} AS MATERIALIZED ("
+            f"  SELECT l.node, LEAST(l.label,"
+            f"                       COALESCE(nb.m, l.label),"
+            f"                       COALESCE(j.label, l.label)) AS label"
+            f"  FROM c{i - 1} l"
+            f"  LEFT JOIN (SELECT u.node AS node, MIN(x.label) AS m"
+            f"             FROM und u JOIN c{i - 1} x ON x.node = u.nbr"
+            f"             GROUP BY u.node) nb ON nb.node = l.node"
+            f"  LEFT JOIN c{i - 1} j ON j.node = l.label)"
+        )
+    return f"""
+WITH {_OC}, {_LI},
+dt_raw AS (
+  SELECT DISTINCT s, p, o, doc FROM (
+    SELECT 'O' || o_orderkey AS s, 'placed_by' AS p, {craw} AS o,
+           'D' || o_orderkey AS doc FROM oc
+    UNION ALL SELECT {craw}, 'in_nation', 'N' || c_nationkey,
+           'D' || o_orderkey FROM oc
+    UNION ALL SELECT 'N' || c_nationkey, 'in_region', 'R' || n_regionkey,
+           'D' || o_orderkey FROM oc
+    UNION ALL SELECT 'O' || l_orderkey, 'contains', 'P' || l_partkey,
+           'D' || l_orderkey FROM li
+    UNION ALL SELECT 'P' || l_partkey, 'supplied_by', 'S' || s_suppkey,
+           'D' || l_orderkey FROM li
+    UNION ALL SELECT 'S' || s_suppkey, 'in_nation', 'N' || s_nationkey,
+           'D' || l_orderkey FROM li
+  ) t
+  WHERE {doc_pred}
+),
+al_all AS (
+  SELECT 'C' || c_custkey || 'A' AS src, 'C' || c_custkey || 'B' AS dst
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'C' || c_custkey || 'B', 'C' || c_custkey
+  FROM customer WHERE c_custkey % 10 = 0
+),
+al AS (SELECT src, dst FROM al_all WHERE {al_pred}),
+und AS (SELECT src AS node, dst AS nbr FROM al
+        UNION SELECT dst, src FROM al),
+anodes AS (SELECT src AS node FROM al_all UNION SELECT dst FROM al_all),
+{",".join(cc)},
+lab AS (SELECT node, label FROM c{rounds}),
+mapped AS (
+  SELECT DISTINCT COALESCE(ls.label, d.s) AS s, d.p,
+         COALESCE(lo.label, d.o) AS o, d.doc
+  FROM dt_raw d
+  LEFT JOIN lab ls ON ls.node = d.s
+  LEFT JOIN lab lo ON lo.node = d.o
+)
+SELECT s, p, o, COUNT(*) AS n_docs, MIN(doc) AS first_doc
+FROM mapped GROUP BY s, p, o
+"""
+
+
 def raw_spans_sql() -> str:
     """Un-positioned spans with their (sort1, sort2) order keys."""
     return f"""

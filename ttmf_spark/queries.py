@@ -1168,6 +1168,116 @@ def q_kg_support_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return support
 
 
+def q_kg_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed maintenance lifecycle as ONE driver-gated query — the
+    capstone over the per-event operators (each individually gated in
+    r4): doc-batch adds, an alias delta that MERGES clusters, a second
+    doc batch under the merged mapping, document RETRACTIONS, an alias
+    retraction that SPLITS clusters (re-keyed by re-extracting affected
+    docs — resupport_from_docs; the merge hook is provably insufficient
+    for splits), and an object-store-safe compaction pass — interleaved
+    across three batches, never rescanning the corpus. The oracle is a
+    from-scratch DuckDB recompute on the FINAL state (surviving docs,
+    surviving alias graph, CC in SQL), so a green row proves the whole
+    interleaved fold cadence converges to the cold build.
+
+    Event schedule (portable md5 splits so the oracle names the same
+    final state): docs batch by h31%3; alias adds h33%3==0 held out of
+    the base graph and folded mid-stream; docs h37%5==2 retracted;
+    alias edges h35%4==2 retracted last.
+    """
+    import tempfile
+
+    from ttmf_spark.extract.canonicalize import (
+        components_decremental,
+        components_incremental,
+        label_remap,
+    )
+    from ttmf_spark.extract.pipeline import (
+        _support_agg,
+        doc_triples,
+        resupport_after_merge,
+        resupport_from_docs,
+        triple_support_decremental,
+        triple_support_incremental,
+    )
+    from ttmf_spark.io_util import (
+        compact_partitioned_versioned,
+        read_partitioned_current,
+        write_partitioned_versioned,
+    )
+
+    docs = corpus.interleaved_docs(spark, sf_dir)
+    gaz = corpus.gazetteer(spark, sf_dir)
+    same = corpus.same_as_edges(spark, sf_dir)
+
+    batch = F.pmod(_h(["doc_id"], 31), F.lit(3))
+    b0, b1, b2 = (docs.filter(batch == i) for i in range(3))
+    is_add = F.pmod(_h(["src", "dst"], 33), F.lit(3)) == 0
+    base_same, delta_add = same.filter(~is_add), same.filter(is_add)
+    deleted_docs = docs.select("doc_id").filter(
+        F.pmod(_h(["doc_id"], 37), F.lit(5)) == F.lit(2)
+    )
+    retract_al = same.filter(F.pmod(_h(["src", "dst"], 35), F.lit(4)) == F.lit(2))
+
+    def _map(labels):
+        return labels.select(
+            F.col("node").alias("entity"), F.col("component").alias("canonical")
+        )
+
+    # batch 1: cold build on b0 under the base alias graph
+    labels = canonicalize.connected_components(base_same).localCheckpoint(True)
+    doc_level = doc_triples(b0, gaz, mapping=_map(labels)).localCheckpoint(True)
+    support = _support_agg(doc_level).localCheckpoint(True)
+
+    # batch 2: fold b1 docs, then the alias ADD delta (clusters merge)
+    support = triple_support_incremental(
+        support, b1, gaz, mapping=_map(labels)
+    ).localCheckpoint(True)
+    doc_level = doc_level.unionByName(
+        doc_triples(b1, gaz, mapping=_map(labels))
+    ).localCheckpoint(True)
+    new_labels = components_incremental(labels, delta_add).localCheckpoint(True)
+    remap = label_remap(labels, new_labels).localCheckpoint(True)
+    if remap.count() > 0:
+        support, doc_level = resupport_after_merge(support, doc_level, remap)
+        support = support.localCheckpoint(True)
+        doc_level = doc_level.localCheckpoint(True)
+    labels = new_labels
+
+    # batch 3: fold b2 under the merged mapping, retract docs, then the
+    # alias RETRACTION (clusters split -> affected docs re-extract)
+    support = triple_support_incremental(
+        support, b2, gaz, mapping=_map(labels)
+    ).localCheckpoint(True)
+    doc_level = doc_level.unionByName(
+        doc_triples(b2, gaz, mapping=_map(labels))
+    ).localCheckpoint(True)
+    support, doc_level = triple_support_decremental(
+        support, doc_level, deleted_docs
+    )
+    support = support.localCheckpoint(True)
+    doc_level = doc_level.localCheckpoint(True)
+    split_labels = components_decremental(labels, same, retract_al).localCheckpoint(True)
+    remap2 = label_remap(labels, split_labels).localCheckpoint(True)
+    surviving = docs.join(F.broadcast(deleted_docs), "doc_id", "left_anti")
+    if remap2.count() > 0:
+        support, doc_level = resupport_from_docs(
+            support, doc_level, remap2, surviving, gaz, _map(split_labels)
+        )
+        support = support.localCheckpoint(True)
+
+    # maintenance epilogue: persist bucketed, compact, serve the result
+    root = tempfile.mkdtemp(prefix="kg_maint_e2e_")
+    write_partitioned_versioned(
+        support, root, bucket_col="s", n_buckets=16, sort_cols=["s", "p", "o"]
+    )
+    compact_partitioned_versioned(spark, root, sort_cols=["s", "p", "o"])
+    return read_partitioned_current(spark, root).select(
+        "s", "p", "o", "n_docs", "first_doc"
+    )
+
+
 def q_kg_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-side label maintenance (canonicalize.components_decremental):
     a deterministic md5-hash subset (1/8, residue 3, seed 11 — portable,
