@@ -62,7 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_pairs": Q.q_kg_walk_pairs,
         "kg_path_reliability": Q.q_kg_path_reliability,
         "kg_path_triples": Q.q_kg_path_triples,
-        # the crisscross forward (see queries.q_kg_crisscross_conf)
+        # the crisscross forward — newly hash-gated this round (was the
+        # last avoidable rows-only entry; see queries.q_kg_crisscross_conf)
         "kg_crisscross_conf": Q.q_kg_crisscross_conf,
         # r3-gated cohort, oldest-first
         "doc_lm_score": Q.q_doc_lm_score,
@@ -282,11 +283,14 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_plan": oracles_docs.media_frame_plan_sql(),
         "media_interleave_stats": oracles.media_interleave_stats_sql(),
         "media_caption_pairs": oracles.media_caption_pairs_sql(),
+        # the crisscross EVAL forward, hash-gated (round 5): md5-rational
+        # weights/embeddings make the masked-RNN recurrence unrollable
+        # per timestep into CTEs (the kg_ptranse_dev_loss discipline —
+        # training graduated in r4, inference graduates here)
+        "kg_crisscross_conf": oracles_kg.kg_crisscross_conf_sql(),
         # rows-only (no oracle): kg_pagerank (convergence-stop fixpoint —
         # the fixed-iteration twin kg_pagerank_fixed IS hash-gated),
-        # kg_score_e2e (trained TransE + fitted fusion), kg_crisscross_conf
-        # (masked-RNN forward), media_features (RNG-seeded fake decode).
-        # kg_ptranse_dev_loss graduated from this list in round 4: the
-        # deterministic fixed-sweep trainer made the full PTransE
-        # training recurrence (paths included) SQL-expressible.
+        # kg_score_e2e (trained TransE + fitted fusion — rng SGD),
+        # media_features (RNG-seeded fake decode). These three are the
+        # genuinely ungateable set: each embeds a driver-rng artifact.
     }

@@ -954,3 +954,226 @@ def kg_ptranse_dev_loss_sql(
         f"SELECT ROUND(AVG(GREATEST({margin!r} + e_pos - e_neg, 0.0)), 6) "
         f"AS dev_loss FROM hp JOIN hn ON hp.kk = hn.kk"
     )
+
+
+def kg_crisscross_conf_sql(
+    n_paths: int = 3,
+    dim: int = 8,
+    rnn_h: int = 8,
+    rr_h: int = 8,
+    bp_h: int = 4,
+    steps: int = 3,
+) -> str:
+    """Twin of queries.q_kg_crisscross_conf — the crisscross fusion net's
+    EVAL-MODE FORWARD (Model1.py:23-160 architecture: three masked
+    SimpleRNN path branches -> BN -> sigmoid path values, tanh+sigmoid RR
+    branch, linear Dense -> softmax head) unrolled per timestep into
+    CTEs, in long (row, index, value) form: every weight, embedding and
+    feature is the same md5-hash rational the Spark fixture uses, state
+    updates follow the identical masked recurrence
+    s_t = mask_t ? tanh(a_fix + b + x_t.Wx + s_{t-1}.Wh) : s_{t-1},
+    BN runs on the init running stats (mean 0, var 1, eps 1e-3), and the
+    softmax uses the same max-shift. Float reassociation (SQL SUM vs
+    BLAS dot) stays ~1e-14 — far below the ROUND(conf, 6) gate, the
+    kg_ptranse_dev_loss portability contract."""
+
+    def h60(expr: str) -> str:
+        return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+    def th(expr: str) -> str:
+        # DuckDB 1.0 ships no tanh(); (e^2x - 1)/(e^2x + 1) is exact to
+        # ~1 ulp at the |x| <= ~5 range these activations span
+        return (
+            f"((exp(2.0 * ({expr})) - 1.0) / (exp(2.0 * ({expr})) + 1.0))"
+        )
+
+    hrt = (
+        "CAST(h AS VARCHAR) || '|' || CAST(r AS VARCHAR) || '|' || "
+        "CAST(t AS VARCHAR)"
+    )
+
+    def hseed(seed) -> str:
+        return h60(f"'{seed}|' || {hrt}")
+
+    def rat(tag2: str) -> str:  # hash rational of a fully-formed string expr
+        return f"(({h60(tag2)}) % 1000) / 1000.0 - 0.5"
+
+    def mat_cte(name: str, tag: str, n: int, m: int) -> str:
+        v = rat(f"'{tag}|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)")
+        return (
+            f"{name} AS MATERIALIZED (SELECT a.i, b.j, {v} AS v "
+            f"FROM range({n}) a(i), range({m}) b(j))"
+        )
+
+    def vec_cte(name: str, tag: str, n: int, idx: str = "j") -> str:
+        v = rat(f"'{tag}|' || CAST({idx} AS VARCHAR)")
+        return f"{name} AS (SELECT {idx}, {v} AS v FROM range({n}) a({idx}))"
+
+    inv = "(1.0 / sqrt(1.0 + 0.001))"
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM ent)",
+    ]
+    # features: 1/8 subset, hash transe/rr/paths (seeds match the query)
+    fcols = [
+        "ROW_NUMBER() OVER (ORDER BY h, r, t) AS rid", "h", "r", "t",
+        f"({hseed(91)} % 1000) / 1000.0 AS transe",
+    ]
+    for j in range(6):
+        fcols.append(f"({hseed(92 + j)} % 1000) / 1000.0 AS rr{j}")
+    for k in range(1, n_paths + 1):
+        fcols.append(f"({hseed(95 + k)} % 4) AS ln{k}")
+        for nm_i, nm in enumerate(("h", "t", "r")):
+            for i in range(steps):
+                tok = (
+                    f"CASE WHEN {i} < ({hseed(95 + k)} % 4) THEN "
+                    f"({hseed(300 + 30 * k + 10 * nm_i + i)} % (nn.n - 1)) + 1 "
+                    f"ELSE 0 END AS t{k}{nm}{i}"
+                )
+                fcols.append(tok)
+    parts.append(
+        "f AS MATERIALIZED (SELECT "
+        + ", ".join(fcols)
+        + f" FROM idt, nn WHERE {hseed(90)} % 8 = 0)"
+    )
+    # embeddings over the full entity-id range, hash rationals
+    parts.append(
+        "ee AS MATERIALIZED (SELECT ent.id AS id, dd.d AS d, "
+        + rat("'cce|' || CAST(ent.id AS VARCHAR) || '|' || CAST(dd.d AS VARCHAR)")
+        + f" AS val FROM ent, range({dim}) dd(d))"
+    )
+    parts.append(
+        "er AS MATERIALIZED (SELECT ent.id AS id, dd.d AS d, "
+        + rat("'ccr|' || CAST(ent.id AS VARCHAR) || '|' || CAST(dd.d AS VARCHAR)")
+        + f" AS val FROM ent, range({dim}) dd(d))"
+    )
+    # fixed input block [E_h, R_r, E_t] in Wx row coordinates 0..3*dim-1
+    parts.append(
+        "xf AS MATERIALIZED ("
+        "  SELECT f.rid, e.d AS i, e.val FROM f JOIN ee e ON e.id = f.h"
+        f"  UNION ALL SELECT f.rid, {dim} + e.d, e.val FROM f JOIN er e ON e.id = f.r"
+        f"  UNION ALL SELECT f.rid, {2 * dim} + e.d, e.val FROM f JOIN ee e ON e.id = f.t)"
+    )
+    d_in = 6 * dim
+    for k in range(1, n_paths + 1):
+        parts.append(mat_cte(f"wx{k}", f"ccwx{k}", d_in, rnn_h))
+        parts.append(mat_cte(f"wh{k}", f"ccwh{k}", rnn_h, rnn_h))
+        parts.append(vec_cte(f"wb{k}", f"ccb{k}", rnn_h))
+        parts.append(vec_cte(f"g{k}", f"ccg{k}", rnn_h))
+        parts.append(vec_cte(f"be{k}", f"ccbe{k}", rnn_h))
+        parts.append(vec_cte(f"pw{k}", f"ccpw{k}", rnn_h))
+        parts.append(
+            f"af{k} AS MATERIALIZED (SELECT x.rid, w.j, SUM(x.val * w.v) AS v "
+            f"FROM xf x JOIN wx{k} w ON w.i = x.i GROUP BY x.rid, w.j)"
+        )
+        for i in range(steps):
+            parts.append(
+                f"xs{k}_{i} AS MATERIALIZED ("
+                f"  SELECT f.rid, {3 * dim} + e.d AS i, e.val FROM f JOIN ee e ON e.id = f.t{k}h{i}"
+                f"  UNION ALL SELECT f.rid, {4 * dim} + e.d, e.val FROM f JOIN er e ON e.id = f.t{k}r{i}"
+                f"  UNION ALL SELECT f.rid, {5 * dim} + e.d, e.val FROM f JOIN ee e ON e.id = f.t{k}t{i})"
+            )
+            parts.append(
+                f"as{k}_{i} AS MATERIALIZED (SELECT x.rid, w.j, SUM(x.val * w.v) AS v "
+                f"FROM xs{k}_{i} x JOIN wx{k} w ON w.i = x.i GROUP BY x.rid, w.j)"
+            )
+            if i == 0:
+                parts.append(
+                    f"s{k}_0 AS MATERIALIZED ("
+                    f"  SELECT a.rid, a.j, CASE WHEN fx.ln{k} > 0 THEN "
+                    f"{th('a.v + b.v + st.v')} ELSE 0.0 END AS s "
+                    f"FROM af{k} a JOIN wb{k} b ON b.j = a.j "
+                    f"JOIN as{k}_0 st ON st.rid = a.rid AND st.j = a.j "
+                    f"JOIN f fx ON fx.rid = a.rid)"
+                )
+            else:
+                parts.append(
+                    f"rc{k}_{i} AS MATERIALIZED (SELECT s.rid, w.j, SUM(s.s * w.v) AS v "
+                    f"FROM s{k}_{i - 1} s JOIN wh{k} w ON w.i = s.j GROUP BY s.rid, w.j)"
+                )
+                parts.append(
+                    f"s{k}_{i} AS MATERIALIZED ("
+                    f"  SELECT a.rid, a.j, CASE WHEN fx.ln{k} > {i} THEN "
+                    f"{th('a.v + b.v + st.v + r.v')} ELSE sp.s END AS s "
+                    f"FROM af{k} a JOIN wb{k} b ON b.j = a.j "
+                    f"JOIN as{k}_{i} st ON st.rid = a.rid AND st.j = a.j "
+                    f"JOIN rc{k}_{i} r ON r.rid = a.rid AND r.j = a.j "
+                    f"JOIN s{k}_{i - 1} sp ON sp.rid = a.rid AND sp.j = a.j "
+                    f"JOIN f fx ON fx.rid = a.rid)"
+                )
+        pvb = rat(f"'ccpb{k}'")
+        parts.append(
+            f"pv{k} AS MATERIALIZED (SELECT s.rid, "
+            f"1.0 / (1.0 + exp(-(SUM((g.v * (s.s * {inv}) + be.v) * pw.v) + {pvb}))) AS v "
+            f"FROM s{k}_{steps - 1} s JOIN g{k} g ON g.j = s.j "
+            f"JOIN be{k} be ON be.j = s.j JOIN pw{k} pw ON pw.j = s.j "
+            f"GROUP BY s.rid)"
+        )
+    # RR branch
+    parts.append(mat_cte("rw1", "ccrw1", 6, rr_h))
+    parts.append(vec_cte("rb1", "ccrb1", rr_h))
+    parts.append(vec_cte("rw2", "ccrw2", rr_h))
+    rr_case = " ".join(f"WHEN {j} THEN rr{j}" for j in range(6))
+    parts.append(
+        f"rrx AS (SELECT rid, ii.i, CASE ii.i {rr_case} END AS val "
+        f"FROM f, range(6) ii(i))"
+    )
+    parts.append(
+        "rrz AS MATERIALIZED (SELECT x.rid, w.j, SUM(x.val * w.v) AS v "
+        "FROM rrx x JOIN rw1 w ON w.i = x.i GROUP BY x.rid, w.j)"
+    )
+    parts.append(
+        f"rrh AS (SELECT z.rid, z.j, {th('z.v + b.v')} AS v "
+        "FROM rrz z JOIN rb1 b ON b.j = z.j)"
+    )
+    rrb2 = rat("'ccrb2'")
+    parts.append(
+        f"rrv AS MATERIALIZED (SELECT t2.rid, "
+        f"1.0 / (1.0 + exp(-(SUM(t2.v * w2.v) + {rrb2}))) AS v "
+        f"FROM rrh t2 JOIN rw2 w2 ON w2.j = t2.j GROUP BY t2.rid)"
+    )
+    # fusion head
+    parts.append(mat_cte("fw1", "ccfw1", 2 + n_paths, bp_h))
+    parts.append(vec_cte("fb1", "ccfb1", bp_h))
+    parts.append(mat_cte("fw2", "ccfw2", bp_h, 2))
+    parts.append(vec_cte("fb2", "ccfb2", 2, idx="c"))
+    pv_sel = " ".join(
+        f"UNION ALL SELECT rid, {k - 1}, v FROM pv{k}"
+        for k in range(2, n_paths + 1)
+    )
+    parts.append(
+        "bpin AS (SELECT rid, 0 AS i, v FROM pv1 "
+        + pv_sel
+        + f" UNION ALL SELECT rid, {n_paths}, transe FROM f"
+        + f" UNION ALL SELECT rid, {n_paths + 1}, v FROM rrv)"
+    )
+    parts.append(
+        "z1 AS MATERIALIZED (SELECT x.rid, w.j, SUM(x.v * w.v) AS v "
+        "FROM bpin x JOIN fw1 w ON w.i = x.i GROUP BY x.rid, w.j)"
+    )
+    parts.append(
+        "z1b AS (SELECT z.rid, z.j, z.v + b.v AS v "
+        "FROM z1 z JOIN fb1 b ON b.j = z.j)"
+    )
+    parts.append(
+        "lg AS (SELECT z.rid, w.j AS c, SUM(z.v * w.v) AS v "
+        "FROM z1b z JOIN fw2 w ON w.i = z.j GROUP BY z.rid, w.j)"
+    )
+    parts.append(
+        "lgb AS (SELECT l.rid, l.c, l.v + b.v AS v "
+        "FROM lg l JOIN fb2 b ON b.c = l.c)"
+    )
+    parts.append(
+        "wide AS (SELECT rid, MAX(CASE WHEN c = 0 THEN v END) AS l0, "
+        "MAX(CASE WHEN c = 1 THEN v END) AS l1 FROM lgb GROUP BY rid)"
+    )
+    parts.append(
+        "cf AS (SELECT rid, exp(l1 - GREATEST(l0, l1)) / "
+        "(exp(l0 - GREATEST(l0, l1)) + exp(l1 - GREATEST(l0, l1))) AS conf "
+        "FROM wide)"
+    )
+    return (
+        f"WITH {KG_BASE.strip()},\n"
+        + ",\n".join(parts)
+        + "\nSELECT f.h, f.r, f.t, ROUND(cf.conf, 6) AS conf "
+        "FROM f JOIN cf ON cf.rid = f.rid"
+    )

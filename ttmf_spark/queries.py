@@ -604,46 +604,115 @@ def q_kg_lowest_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5u60(s: str) -> int:
+    """Driver-side twin of the portable 60-bit md5 hash (_h /
+    negatives._portable_hash): int of the first 15 hex chars."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _cc_hash_params(
+    n_paths: int = 3, d_in: int = 48, rnn_h: int = 8, rr_h: int = 8,
+    bp_h: int = 4,
+) -> dict:
+    """Crisscross-net weights as pure md5-hash rationals (k/1000 - 0.5),
+    byte-reproducible in DuckDB — the SQL-expressible stand-in for the
+    Glorot/orthogonal rng init (which pins the PRODUCTION init via
+    pytest; this fixture pins the FORWARD ALGEBRA via the driver gate).
+    BN runs eval-mode on the init running stats (mean 0, var 1)."""
+    def mat(tag, n, m):
+        return np.array([
+            [(_md5u60(f"{tag}|{i}|{j}") % 1000) / 1000.0 - 0.5 for j in range(m)]
+            for i in range(n)
+        ])
+
+    def vec(tag, n):
+        return np.array([
+            (_md5u60(f"{tag}|{i}") % 1000) / 1000.0 - 0.5 for i in range(n)
+        ])
+
+    def sc(tag):
+        return (_md5u60(tag) % 1000) / 1000.0 - 0.5
+
+    p: dict = {"n_paths": n_paths, "d_in": d_in}
+    for k in range(1, n_paths + 1):
+        p[f"rnn{k}_Wx"] = mat(f"ccwx{k}", d_in, rnn_h)
+        p[f"rnn{k}_Wh"] = mat(f"ccwh{k}", rnn_h, rnn_h)
+        p[f"rnn{k}_b"] = vec(f"ccb{k}", rnn_h)
+        p[f"bn{k}_gamma"] = vec(f"ccg{k}", rnn_h)
+        p[f"bn{k}_beta"] = vec(f"ccbe{k}", rnn_h)
+        p[f"bn{k}_mean"] = np.zeros(rnn_h)
+        p[f"bn{k}_var"] = np.ones(rnn_h)
+        p[f"pv{k}_W"] = vec(f"ccpw{k}", rnn_h)
+        p[f"pv{k}_b"] = sc(f"ccpb{k}")
+    p["rr_W1"] = mat("ccrw1", 6, rr_h)
+    p["rr_b1"] = vec("ccrb1", rr_h)
+    p["rr_W2"] = vec("ccrw2", rr_h)
+    p["rr_b2"] = sc("ccrb2")
+    p["bp_W1"] = mat("ccfw1", 2 + n_paths, bp_h)
+    p["bp_b1"] = vec("ccfb1", bp_h)
+    p["bp_W2"] = mat("ccfw2", bp_h, 2)
+    p["bp_b2"] = vec("ccfb2", 2)
+    return p
+
+
+def _cc_hash_emb(tag: str, n: int, dim: int = 8) -> np.ndarray:
+    return np.array([
+        [(_md5u60(f"{tag}|{i}|{d}") % 1000) / 1000.0 - 0.5 for d in range(dim)]
+        for i in range(n)
+    ])
+
+
 def q_kg_crisscross_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the REAL crisscross-net inference path (M6 — the numpy
-    re-expression of Model1.py:23-160's three SimpleRNN path branches +
-    RR branch + softmax head) with seeded init weights, seeded embedding
-    matrices, and hash-derived inputs. The masked-RNN forward is not
-    SQL-expressible; exact semantics are pinned by
-    tests/test_crisscross.py (gradient check + loop-oracle parity)."""
+    """HASH-GATED (round 5; rows-only until r4): the REAL crisscross-net
+    inference path (M6 — the numpy re-expression of Model1.py:23-160's
+    three masked SimpleRNN path branches + RR branch + softmax head),
+    run through the production Arrow UDF (crisscross.crisscross_udf ->
+    forward eval mode) over an md5-derived fixture: dim-8 hash-rational
+    embeddings, hash-rational weights at a tiny shape (H=8), hash token
+    paths with the pad-0 mask semantics exercised via the length
+    pattern, on a 1/8 md5 subset of the id triples. Every input is a
+    DuckDB-reproducible rational, so the oracle unrolls the whole
+    forward — per-timestep masked recurrence, BN, three sigmoid heads,
+    softmax — in SQL (oracles_kg.kg_crisscross_conf_sql) and the driver
+    hash-gates conf to 6 decimals. The production Glorot/orthogonal
+    init + the trained path stay pinned by tests/test_crisscross.py
+    (gradient check, loop-oracle parity) and kg_score_e2e."""
     from ttmf_spark.kg import crisscross
 
     ids, e_dim = _id_triples(spark, sf_dir)
     n_ent = e_dim.count()
+    sub = ids.filter(F.pmod(_h(["h", "r", "t"], 90), F.lit(8)) == 0)
     feats = (
-        ids.withColumn(
-            "trans_conf", F.pmod(_h(["h", "r", "t"], 21), F.lit(1000)) / 1000.0
+        sub.withColumn(
+            "trans_conf", F.pmod(_h(["h", "r", "t"], 91), F.lit(1000)) / 1000.0
         )
         .withColumn(
             "rr_features",
             F.array(*[
-                (F.pmod(_h(["h", "r", "t"], 22 + j), F.lit(1000)) / 1000.0)
+                (F.pmod(_h(["h", "r", "t"], 92 + j), F.lit(1000)) / 1000.0)
                 for j in range(6)
             ]),
         )
     )
     for k in (1, 2, 3):
-        # hash-derived token paths: len in 0..3, ids in [1, n_ent) so the
-        # pad-0 mask semantics stay exercised via the length pattern
-        ln = F.pmod(_h(["h", "r", "t"], 60 + k), F.lit(4))
-        for nm in ("h", "t", "r"):
+        ln = F.pmod(_h(["h", "r", "t"], 95 + k), F.lit(4))
+        for nm_i, nm in enumerate(("h", "t", "r")):
             tok = [
                 F.when(
                     F.lit(i) < ln,
-                    F.pmod(_h(["h", "r", "t"], 70 + 10 * k + i), F.lit(n_ent - 1)) + 1,
+                    F.pmod(
+                        _h(["h", "r", "t"], 300 + 30 * k + 10 * nm_i + i),
+                        F.lit(n_ent - 1),
+                    ) + 1,
                 ).otherwise(F.lit(0)).cast("long")
                 for i in range(paths.MAX_EDGES)
             ]
             feats = feats.withColumn(f"path{k}_{nm}", F.array(*tok))
-    rng = np.random.default_rng(123)
-    ent = rng.normal(0, 0.3, (n_ent, 16)).astype(np.float32)
-    rel = rng.normal(0, 0.3, (n_ent, 16)).astype(np.float32)
-    params = crisscross.init_params(16, 16, rnn_h=24, rr_h=16, bp_h=8, seed=7)
+    ent = _cc_hash_emb("cce", n_ent)
+    rel = _cc_hash_emb("ccr", n_ent)
+    params = _cc_hash_params()
     scored = crisscross.add_confidence(
         feats, crisscross.crisscross_udf(spark, params, ent, rel)
     )
