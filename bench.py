@@ -74,8 +74,11 @@ CC_EPOCHS = int(os.environ.get("SPARK_GRAFT_CC_EPOCHS", "20"))
 # ~50 ms/step measured (sf0.001, mb=64): 1200 steps ~= 60 s fit bound
 CC_MAX_STEPS = int(os.environ.get("SPARK_GRAFT_CC_MAX_STEPS", "1200"))
 # cold crisscross passes; the min is reported (noise-robustness, same
-# rationale as HEADLINE_ROUNDS)
-CC_RUNS = int(os.environ.get("SPARK_GRAFT_CC_RUNS", "2"))
+# rationale as HEADLINE_ROUNDS). 3 by default since round 5: a 2-sample
+# min still carried the r3 failure mode in a sufficiently bad host
+# window (VERDICT r4 #8) — the tier is ~45% of bench wall, so the third
+# pass is the cheapest insurance the budget allows
+CC_RUNS = int(os.environ.get("SPARK_GRAFT_CC_RUNS", "3"))
 # opt-in: fit the M6 tier via fit_crisscross_distributed (epoch-sharded
 # grouped-Arrow Adam; the labeled set never lands on the driver) instead
 # of the driver kernel — the distant-supervision-scale route, benched on

@@ -244,10 +244,18 @@ def main() -> None:
             pagerank.pagerank_routed(patched_pre, nodes_pre),
             os.path.join(WORK, f"prev_ranks_{tag}"),
         )
-        ew2, reach2, nodes2, patched2 = _tables(post, "post")
-        t_cold = timed(
-            lambda: pagerank.pagerank_routed(patched2, nodes2).count()
-        )
+        ew2, reach2, _, _ = _tables(post, "post")
+
+        def _cold():
+            # apples-to-apples with rerank_after_delta: the cold route
+            # pays subgraph assembly for ALL cores from the same shared
+            # (edges_w, reach) inputs the scoped route starts from
+            sg = graph.subgraph_edges(ew2, reach2, depth=4)
+            nodes = graph.subgraph_nodes(sg, cores)
+            patched = pagerank.patched_edges(sg, nodes)
+            return pagerank.pagerank_routed(patched, nodes).count()
+
+        t_cold = timed(_cold)
         scope = reach_pre.unionByName(reach2).localCheckpoint(eager=True)
         t_maint = timed(
             lambda: pagerank.rerank_after_delta(
