@@ -352,3 +352,102 @@ def test_retraction_stream_matches_batch(spark, tmp_path):
             .select("doc_id", "s", "p", "o").collect())
     )
     assert dlf == dlw
+
+
+def test_alias_retraction_stream_matches_batch(spark, tmp_path):
+    """ST7 streaming alias-edge retraction (alias_retraction_stream):
+    same_as withdrawal files land in two drops (the second replaying the
+    first — duplicate-delivery no-op), then a third after a restart. The
+    maintained labels must equal a cold connected_components over the
+    surviving alias edges at every probe point, and an on_remap hook
+    re-keying the support table through resupport_from_docs (the
+    split-side hook) must leave it equal to triple_support rebuilt from
+    scratch under the surviving alias graph — the streaming twin of the
+    composed-lifecycle gate's split leg."""
+    from pyspark.sql import functions as F
+
+    from ttmf_spark.extract.canonicalize import connected_components
+    from ttmf_spark.extract.pipeline import (
+        _support_agg,
+        doc_triples,
+        resupport_from_docs,
+        triple_support,
+    )
+
+    docs = corpus.interleaved_docs(spark, SF_UNIT)
+    gaz = corpus.gazetteer(spark, SF_UNIT)
+    same = corpus.same_as_edges(spark, SF_UNIT)
+    init_labels = connected_components(same).localCheckpoint(eager=True)
+    init_edges = same.localCheckpoint(eager=True)
+
+    part = F.pmod(F.crc32(F.concat_ws("|", "src", "dst")), F.lit(6))
+    d0 = same.filter(part == 0)
+    d1 = same.filter(part == 1)
+    d2 = same.filter(part == 2)
+    assert d0.count() > 0 and d1.count() > 0 and d2.count() > 0
+
+    state = {
+        "doc": doc_triples(docs, gaz, same_as=same).localCheckpoint(True),
+    }
+    state["sup"] = _support_agg(state["doc"]).localCheckpoint(True)
+
+    def on_remap(remap, batch_id):
+        labels = spark.read.schema("node string, component string").parquet(
+            f"{st}/labels/v={batch_id}"
+        )
+        mapping = labels.select(
+            F.col("node").alias("entity"), F.col("component").alias("canonical")
+        )
+        sup, doc = resupport_from_docs(
+            state["sup"], state["doc"], remap, docs, gaz, mapping
+        )
+        state["sup"] = sup.localCheckpoint(eager=True)
+        state["doc"] = doc.localCheckpoint(eager=True)
+
+    in_dir = str(tmp_path / "alias_in")
+    st = str(tmp_path / "alias_state")
+    ck = str(tmp_path / "alias_ck")
+    d0.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    d1.unionByName(d0).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = streaming.alias_retraction_stream(
+        spark, in_dir, st, ck, init_labels, init_edges,
+        max_files=1, on_remap=on_remap,
+    )
+    q.awaitTermination(300)
+    labels, edges = streaming.read_alias_state(spark, st)
+    surv = same.filter(~part.isin(0, 1))
+    assert sorted(map(tuple, edges.collect())) == sorted(
+        map(tuple, surv.collect())
+    )
+    cold = {
+        r.node: r.component for r in connected_components(surv).collect()
+    }
+    for r in labels.collect():
+        assert cold.get(r.node, r.node) == r.component
+
+    # restart with a third drop
+    d2.coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming.alias_retraction_stream(
+        spark, in_dir, st, ck, init_labels, init_edges,
+        max_files=1, on_remap=on_remap,
+    )
+    q.awaitTermination(300)
+    labels2, edges2 = streaming.read_alias_state(spark, st)
+    surv2 = same.filter(~part.isin(0, 1, 2))
+    cold2 = {
+        r.node: r.component for r in connected_components(surv2).collect()
+    }
+    for r in labels2.collect():
+        assert cold2.get(r.node, r.node) == r.component
+    # the re-keyed support table equals the from-scratch build under the
+    # surviving alias graph — splits included
+    want = triple_support(docs, gaz, same_as=surv2)
+    got = {
+        (r.s, r.p, r.o): (r.n_docs, r.first_doc)
+        for r in state["sup"].collect()
+    }
+    w = {
+        (r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in want.collect()
+    }
+    assert got == w

@@ -147,7 +147,10 @@ def triple_support_incremental(
       from their supporting docs instead — ``resupport_after_merge``
       (below) does exactly that from the maintained ``doc_triples``
       table and the ``label_remap`` merge map; run it BEFORE folding
-      further doc batches under the new mapping.
+      further doc batches under the new mapping. When the delta can
+      SPLIT clusters (alias retractions), re-key through
+      ``resupport_from_docs`` instead — the merge hook is label-level
+      and provably insufficient for splits (see its docstring).
 
     Pinned by tests/test_extract.py: fold(base, delta) equals
     ``triple_support`` recomputed on the union corpus.

@@ -665,6 +665,119 @@ def retraction_stream(
     return writer.start()
 
 
+def read_alias_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The CURRENT maintained (labels, edges) pair of the alias-retraction
+    stream: highest committed version, labels dir as the pair's commit
+    marker (the stream writes edges first, labels last)."""
+    versions = _list_label_versions(spark, f"{state_dir}/labels")
+    if not versions:
+        raise FileNotFoundError(f"no label versions under {state_dir}")
+    v = versions[-1]
+    return (
+        spark.read.schema("node string, component string").parquet(
+            f"{state_dir}/labels/v={v}"
+        ),
+        spark.read.schema(ALIAS_SCHEMA).parquet(f"{state_dir}/edges/v={v}"),
+    )
+
+
+def alias_retraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    init_labels: DataFrame,
+    init_edges: DataFrame,
+    trigger_once: bool = True,
+    max_files: int = 16,
+    on_remap=None,
+):
+    """ST7 — streaming ALIAS-EDGE retraction: as same_as withdrawal files
+    land (src, dst rows — delete what was inserted), maintain the
+    (labels, edges) canonicalization state by folding each micro-batch
+    out with ``canonicalize.components_decremental`` — affected
+    components re-derive from their surviving edges (clusters can
+    SPLIT), unaffected label rows splice verbatim, and the surviving
+    edge set itself is maintained so the next batch's carve has its
+    input. The deletion twin of ``canonicalize_stream`` (which folds
+    edge ADDITIONS) and the final streaming lifecycle event: with ST1
+    ingestion, the canonicalize/merge stream, ST6 doc retraction, and
+    this, every batch maintenance path has a streaming twin.
+
+    Versioned-state contract as everywhere: each batch writes
+    ``{state_dir}/{edges,labels}/v={batch_id}`` (edges FIRST, labels
+    LAST, so the labels listing is the pair's commit marker) and folds
+    from the highest version strictly below its own id — replayed
+    batches rebuild from the same predecessor, idempotent; retracting an
+    absent (or already-retracted) edge is a no-op, so duplicate
+    deliveries are safe. After any stream prefix the served labels equal
+    a cold ``connected_components`` over the surviving edges with
+    self-labels for stranded nodes (pinned by tests/test_streaming.py).
+
+    ``on_remap(remap_df, batch_id)``: the split-side re-key hook, fired
+    after each batch's labels COMMIT with the ``label_remap`` (old, new)
+    map when non-empty. Downstream maintained tables re-key through
+    ``extract.pipeline.resupport_from_docs`` here — NOT the merge hook:
+    a split maps one old label to several new ones, and only the
+    affected documents know which branch each mention takes (see
+    canonicalize.components_decremental's docstring). Replay safety as
+    in canonicalize_stream: consumers version their outputs per
+    batch_id.
+    """
+    from ttmf_spark.extract.canonicalize import (
+        components_decremental,
+        label_remap,
+    )
+
+    sdf = (
+        spark.readStream.schema(ALIAS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        prior = [
+            v
+            for v in _list_label_versions(spark, f"{state_dir}/labels")
+            if v < batch_id
+        ]
+        if prior:
+            labels = spark.read.schema("node string, component string").parquet(
+                f"{state_dir}/labels/v={prior[-1]}"
+            )
+            edges = spark.read.schema(ALIAS_SCHEMA).parquet(
+                f"{state_dir}/edges/v={prior[-1]}"
+            )
+        else:
+            labels, edges = init_labels, init_edges
+        new_labels = components_decremental(labels, edges, batch_df)
+        new_edges = edges.join(
+            batch_df.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        new_edges.write.mode("overwrite").parquet(
+            f"{state_dir}/edges/v={batch_id}"
+        )
+        new_labels.write.mode("overwrite").parquet(
+            f"{state_dir}/labels/v={batch_id}"
+        )
+        if on_remap is not None:
+            committed = spark.read.schema(
+                "node string, component string"
+            ).parquet(f"{state_dir}/labels/v={batch_id}")
+            remap = label_remap(labels, committed).localCheckpoint(eager=True)
+            if remap.count() > 0:
+                on_remap(remap, batch_id)
+
+    writer = sdf.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def cms_stream(
     spark: SparkSession,
     input_dir: str,
