@@ -306,6 +306,19 @@ def test_triple_support_incremental_matches_full_recompute(spark):
     w = {(r.s, r.p, r.o): (r.n_docs, r.first_doc) for r in full.collect()}
     assert f == w
 
+    # the single-extraction route: a precomputed delta doc_level (what a
+    # caller maintaining both tables already holds) folds identically
+    from ttmf_spark.extract.pipeline import doc_triples
+
+    f2 = {
+        (r.s, r.p, r.o): (r.n_docs, r.first_doc)
+        for r in triple_support_incremental(
+            existing, None, None,
+            delta_doc_level=doc_triples(delta, gaz, same_as=same),
+        ).collect()
+    }
+    assert f2 == w
+
 
 def test_triple_support_decremental_matches_full_recompute(spark):
     """Retracting a doc batch from the maintained support table

@@ -503,12 +503,11 @@ def test_composed_lifecycle_matches_from_scratch(spark, tmp_path):
     doc_level = doc_triples(b0, gaz, mapping=_map(labels)).localCheckpoint(True)
     support = _support_agg(doc_level).localCheckpoint(True)
 
+    b1_dl = doc_triples(b1, gaz, mapping=_map(labels)).localCheckpoint(True)
     support = triple_support_incremental(
-        support, b1, gaz, mapping=_map(labels)
+        support, None, None, delta_doc_level=b1_dl
     ).localCheckpoint(True)
-    doc_level = doc_level.unionByName(
-        doc_triples(b1, gaz, mapping=_map(labels))
-    ).localCheckpoint(True)
+    doc_level = doc_level.unionByName(b1_dl).localCheckpoint(True)
     new_labels = components_incremental(labels, delta_add).localCheckpoint(True)
     remap = label_remap(labels, new_labels).localCheckpoint(True)
     assert remap.count() > 0  # the delta really merges clusters
@@ -518,12 +517,11 @@ def test_composed_lifecycle_matches_from_scratch(spark, tmp_path):
     )
     labels = new_labels
 
+    b2_dl = doc_triples(b2, gaz, mapping=_map(labels)).localCheckpoint(True)
     support = triple_support_incremental(
-        support, b2, gaz, mapping=_map(labels)
+        support, None, None, delta_doc_level=b2_dl
     ).localCheckpoint(True)
-    doc_level = doc_level.unionByName(
-        doc_triples(b2, gaz, mapping=_map(labels))
-    ).localCheckpoint(True)
+    doc_level = doc_level.unionByName(b2_dl).localCheckpoint(True)
     support, doc_level = triple_support_decremental(
         support, doc_level, deleted_docs
     )

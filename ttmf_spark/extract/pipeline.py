@@ -121,10 +121,11 @@ def triple_support(
 
 def triple_support_incremental(
     existing: DataFrame,
-    delta_docs: DataFrame,
-    gazetteer: DataFrame,
+    delta_docs: DataFrame | None,
+    gazetteer: DataFrame | None,
     same_as: DataFrame | None = None,
     mapping: DataFrame | None = None,
+    delta_doc_level: DataFrame | None = None,
 ) -> DataFrame:
     """Fold a NEW doc batch into an existing (s, p, o, n_docs, first_doc)
     support table without rescanning the corpus.
@@ -154,8 +155,21 @@ def triple_support_incremental(
 
     Pinned by tests/test_extract.py: fold(base, delta) equals
     ``triple_support`` recomputed on the union corpus.
+
+    ``delta_doc_level``: pass the batch's already-extracted
+    (doc_id, s, p, o) rows (``doc_triples`` under the same mapping) to
+    skip re-extraction — the route for callers that maintain BOTH the
+    support table and the doc-level provenance (every real maintenance
+    deployment does: the merge/split re-key hooks need doc_level), which
+    otherwise pay the mention-detection/link/canonicalize pass twice per
+    batch. ``delta_docs``/``gazetteer`` are ignored when it is given.
     """
-    delta = triple_support(delta_docs, gazetteer, same_as=same_as, mapping=mapping)
+    if delta_doc_level is not None:
+        delta = _support_agg(delta_doc_level)
+    else:
+        delta = triple_support(
+            delta_docs, gazetteer, same_as=same_as, mapping=mapping
+        )
     e = existing.select(
         "s", "p", "o",
         F.col("n_docs").alias("_n_e"), F.col("first_doc").alias("_f_e"),

@@ -1299,13 +1299,13 @@ def q_kg_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_level = doc_triples(b0, gaz, mapping=_map(labels)).localCheckpoint(True)
     support = _support_agg(doc_level).localCheckpoint(True)
 
-    # batch 2: fold b1 docs, then the alias ADD delta (clusters merge)
+    # batch 2: fold b1 docs (extracted ONCE — the delta_doc_level route
+    # feeds both maintained tables), then the alias ADD delta (merges)
+    b1_dl = doc_triples(b1, gaz, mapping=_map(labels)).localCheckpoint(True)
     support = triple_support_incremental(
-        support, b1, gaz, mapping=_map(labels)
+        support, None, None, delta_doc_level=b1_dl
     ).localCheckpoint(True)
-    doc_level = doc_level.unionByName(
-        doc_triples(b1, gaz, mapping=_map(labels))
-    ).localCheckpoint(True)
+    doc_level = doc_level.unionByName(b1_dl).localCheckpoint(True)
     new_labels = components_incremental(labels, delta_add).localCheckpoint(True)
     remap = label_remap(labels, new_labels).localCheckpoint(True)
     if remap.count() > 0:
@@ -1316,12 +1316,11 @@ def q_kg_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # batch 3: fold b2 under the merged mapping, retract docs, then the
     # alias RETRACTION (clusters split -> affected docs re-extract)
+    b2_dl = doc_triples(b2, gaz, mapping=_map(labels)).localCheckpoint(True)
     support = triple_support_incremental(
-        support, b2, gaz, mapping=_map(labels)
+        support, None, None, delta_doc_level=b2_dl
     ).localCheckpoint(True)
-    doc_level = doc_level.unionByName(
-        doc_triples(b2, gaz, mapping=_map(labels))
-    ).localCheckpoint(True)
+    doc_level = doc_level.unionByName(b2_dl).localCheckpoint(True)
     support, doc_level = triple_support_decremental(
         support, doc_level, deleted_docs
     )
