@@ -719,6 +719,53 @@ def main() -> None:
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # round-5 split-side re-key: the affected-label dim must BROADCAST
+    # onto the maintained doc_level (naming affected rows without a
+    # corpus shuffle); the re-extraction subtree is the same
+    # single-linear assembly; splice joins equi only
+    from ttmf_spark.extract.canonicalize import (
+        components_decremental,
+        connected_components,
+        label_remap,
+    )
+    from ttmf_spark.extract.pipeline import (
+        _support_agg,
+        doc_triples,
+        resupport_from_docs,
+    )
+
+    full_labels = connected_components(same).localCheckpoint(eager=True)
+    dl0 = doc_triples(docs, gaz, same_as=same).localCheckpoint(eager=True)
+    sup0 = _support_agg(dl0).localCheckpoint(eager=True)
+    del_al = same.filter(F.crc32(F.concat_ws("|", "src", "dst")) % 3 == 1)
+    split_labels = components_decremental(
+        full_labels, same, del_al
+    ).localCheckpoint(eager=True)
+    remap5 = label_remap(full_labels, split_labels).localCheckpoint(eager=True)
+    mapping5 = split_labels.select(
+        F.col("node").alias("entity"), F.col("component").alias("canonical")
+    )
+    sup5, _dl5 = resupport_from_docs(sup0, dl0, remap5, docs, gaz, mapping5)
+    audit(
+        "resupport_from_docs",
+        sup5,
+        out,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+    # round-5 crisscross gate: the forward is ONE ArrowEvalPython stage
+    # (vectorized pandas UDF) over the feature projection — no per-row
+    # Python, no join in the scoring plan
+    cc5 = Q.q_kg_crisscross_conf(spark, sf_dir)
+    audit(
+        "kg_crisscross_conf",
+        cc5,
+        out,
+        expect=["ArrowEvalPython"],
+        forbid=["CartesianProduct", "BatchEvalPython"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (auto-generated by scripts/explain_audit.py)\n")
         for name, p, flags, problems in out:
