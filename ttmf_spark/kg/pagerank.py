@@ -412,6 +412,19 @@ def rerank_after_delta(
     steady-state maintenance cost of the 10^12-doc rank table as
     extraction batches land (completes ST1 ingestion + N18 label folding
     + N20 warm start into one scoped path).
+
+    Measured economics (BENCH.md round-5 table): the scoped route's cost
+    is ~flat in core count (dominated by the reach/prev table scans)
+    while the cold route grows linearly with cores — crossover between
+    2k and 8.5k cores at event-sized deltas on sf0.1. At scale the fixed
+    scans file-prune via ``io_util.read_bucket_pruned``: the scoping
+    scan (``affected_cores``) is NODE-keyed (semi-join on the delta
+    srcs), so a node-bucketed reach layout prunes it by the delta's
+    srcs; the subgraph scan (``reach`` semi affected cores) is
+    CORE-keyed and prunes by the affected set once known.
+    ``prev_ranks`` must stay the FULL table (the kept-side splice emits
+    every unaffected core verbatim) but is touched by exactly one
+    broadcast anti-join.
     """
     from . import graph
 
