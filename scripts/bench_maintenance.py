@@ -131,28 +131,28 @@ def main() -> None:
     # the carve's affected-old-component filter IS the bucket filter.
     from pyspark.sql import Window
 
-    if "b" not in sections:
-        cc_rows = None
-    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    chain = orders.select(
-        "o_custkey", F.col("o_orderkey").alias("dst"),
-        F.lag("o_orderkey").over(w).alias("src"),
-    ).filter(F.col("src").isNotNull()).select("src", "dst")
-    e = chain.localCheckpoint(eager=True)
-    n_edges = e.count()
-    labels = materialize(
-        connected_components(e), os.path.join(WORK, "labels")
-    )
-    n_buckets = 64
-    epath = os.path.join(WORK, "edges")
-    lab_src = labels.select(
-        F.col("node").alias("src"), F.col("component").alias("label")
-    )
-    write_partitioned(e.join(lab_src, "src"), epath, bucket_col="label",
-                      n_buckets=n_buckets, sort_cols=["src", "dst"])
-    full_scan = spark.read.parquet(epath)
-    cc_rows = {"n_edges": n_edges} if "b" in sections else None
+    cc_rows = None
+    if "b" in sections:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        chain = orders.select(
+            "o_custkey", F.col("o_orderkey").alias("dst"),
+            F.lag("o_orderkey").over(w).alias("src"),
+        ).filter(F.col("src").isNotNull()).select("src", "dst")
+        e = chain.localCheckpoint(eager=True)
+        n_edges = e.count()
+        labels = materialize(
+            connected_components(e), os.path.join(WORK, "labels")
+        )
+        n_buckets = 64
+        epath = os.path.join(WORK, "edges")
+        lab_src = labels.select(
+            F.col("node").alias("src"), F.col("component").alias("label")
+        )
+        write_partitioned(e.join(lab_src, "src"), epath, bucket_col="label",
+                          n_buckets=n_buckets, sort_cols=["src", "dst"])
+        full_scan = spark.read.parquet(epath)
+        cc_rows = {"n_edges": n_edges}
     for tag, mod in (
         ("event", max(1, n_edges // 10)), ("1pct", 100), ("5pct", 20)
     ) if cc_rows is not None else ():
@@ -201,20 +201,22 @@ def main() -> None:
         out["cc_retract"] = cc_rows
 
     # (c) scoped warm rerank vs cold rerank ---------------------------------
-    truth = corpus.truth_triples(spark, SF_DIR)
-    idt = encode.encode_triples(
-        truth, encode.entity_dim(truth), encode.relation_dim(truth)
-    ).localCheckpoint(eager=True)
-    n_idt = idt.count()
-    n_ent = int(idt.agg(F.max(F.greatest("h", "t"))).first()[0]) + 1
-    cores = (
-        spark.range(n_ent)
-        .filter(F.pmod(F.xxhash64("id", F.lit(9)), F.lit(max(1, n_ent // N_CORES))) == 0)
-        .select(F.col("id").alias("core"))
-        .localCheckpoint(eager=True)
-    )
-    out["n_cores"] = cores.count()
-    rank_rows = {} if "c" in sections else None
+    rank_rows = None
+    if "c" in sections:
+        truth = corpus.truth_triples(spark, SF_DIR)
+        idt = encode.encode_triples(
+            truth, encode.entity_dim(truth), encode.relation_dim(truth)
+        ).localCheckpoint(eager=True)
+        n_idt = idt.count()
+        n_ent = int(idt.agg(F.max(F.greatest("h", "t"))).first()[0]) + 1
+        cores = (
+            spark.range(n_ent)
+            .filter(F.pmod(F.xxhash64("id", F.lit(9)), F.lit(max(1, n_ent // N_CORES))) == 0)
+            .select(F.col("id").alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        out["n_cores"] = cores.count()
+        rank_rows = {}
     for tag, mod in (
         ("event", max(1, n_idt // 100)), ("01pct", 1000), ("1pct", 100)
     ) if rank_rows is not None else ():

@@ -433,6 +433,15 @@ def test_alias_retraction_stream_matches_batch(spark, tmp_path):
         max_files=1, on_remap=on_remap,
     )
     q.awaitTermination(300)
+    # a crashed batch's residue — a v= dir without _SUCCESS — must be
+    # invisible to the version listing (the commit contract shared by
+    # every versioned state sink here)
+    import os
+    import shutil
+
+    os.makedirs(f"{st}/labels/v=99")
+    assert 99 not in streaming._list_label_versions(spark, f"{st}/labels")
+    shutil.rmtree(f"{st}/labels/v=99")
     labels2, edges2 = streaming.read_alias_state(spark, st)
     surv2 = same.filter(~part.isin(0, 1, 2))
     cold2 = {

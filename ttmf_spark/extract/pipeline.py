@@ -366,13 +366,20 @@ def resupport_from_docs(
     hook); ``resupport_after_merge`` remains the cheaper label-level path
     when the delta only merges.
     """
-    old_labels = F.broadcast(remap.select(F.col("old").alias("lab")).distinct())
-    touched = doc_level.join(
-        old_labels.select(F.col("lab").alias("s")), "s", "left_semi"
-    ).unionByName(
-        doc_level.join(old_labels.select(F.col("lab").alias("o")), "o", "left_semi")
+    # ONE pass over the corpus-scale doc_level: both affected-label
+    # probes ride the same scan as broadcast left joins (the
+    # resupport_after_merge marked-join pattern), never two semi-joins
+    old_labels = remap.select(F.col("old").alias("lab")).distinct()
+    ms = F.broadcast(old_labels.select(F.col("lab").alias("s"), F.lit(1).alias("_ts")))
+    mo = F.broadcast(old_labels.select(F.col("lab").alias("o"), F.lit(1).alias("_to")))
+    aff_docs = (
+        doc_level.join(ms, "s", "left")
+        .join(mo, "o", "left")
+        .filter(F.col("_ts").isNotNull() | F.col("_to").isNotNull())
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    aff_docs = touched.select("doc_id").distinct().localCheckpoint(eager=True)
     dropped = doc_level.join(aff_docs, "doc_id", "left_semi")
     kept_doc = doc_level.join(aff_docs, "doc_id", "left_anti")
     redo = doc_triples(

@@ -171,7 +171,17 @@ def read_bucket_pruned(
     deletion path to the affected buckets (measured at sf0.1 in
     BENCH.md's maintenance-economics table).
     """
-    kc = keys.columns[0] if key_col not in keys.columns else key_col
+    if key_col in keys.columns:
+        kc = key_col
+    elif len(keys.columns) == 1:
+        # single-column key frame: unambiguous, accept any name
+        kc = keys.columns[0]
+    else:
+        # a silent fallback here would hash the WRONG column and prune
+        # buckets that actually hold affected rows — fail fast instead
+        raise ValueError(
+            f"key_col {key_col!r} not in keys columns {keys.columns}"
+        )
     bkts = [
         r["b"]
         for r in keys.select(

@@ -1335,7 +1335,18 @@ def q_kg_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         support = support.localCheckpoint(True)
 
-    # maintenance epilogue: persist bucketed, compact, serve the result
+    # maintenance epilogue: persist bucketed, compact, serve the result.
+    # The dir must outlive this function (the returned DataFrame reads it
+    # lazily), so clean up PRIOR invocations' leftovers instead — repeated
+    # gate/bench runs stay bounded at one live workdir
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    for stale in _glob.glob(
+        _os.path.join(tempfile.gettempdir(), "kg_maint_e2e_*")
+    ):
+        _shutil.rmtree(stale, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="kg_maint_e2e_")
     write_partitioned_versioned(
         support, root, bucket_col="s", n_buckets=16, sort_cols=["s", "p", "o"]

@@ -453,8 +453,14 @@ ALIAS_SCHEMA = "src string, dst string"
 
 
 def _list_label_versions(spark: SparkSession, labels_dir: str) -> list[int]:
-    """Batch-id versions present under the label sink (Hadoop FS, so the
-    probe works for s3/hdfs/local URIs alike; missing dir = no versions)."""
+    """COMMITTED batch-id versions under a versioned state sink (Hadoop
+    FS, so the probe works for s3/hdfs/local URIs alike; missing dir =
+    no versions). A v=N dir counts only when its ``_SUCCESS`` marker
+    exists — the committer drops it last, so a crashed (or in-flight)
+    batch's partial parquet dir is invisible to readers AND to the next
+    batch's fold-from-highest-prior probe; the replaying batch simply
+    overwrites the uncommitted residue. Same contract as
+    io_util.committed_versions."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(labels_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -465,9 +471,13 @@ def _list_label_versions(spark: SparkSession, labels_dir: str) -> list[int]:
         name = st.getPath().getName()
         if name.startswith("v="):
             try:
-                out.append(int(name[2:]))
+                v = int(name[2:])
             except ValueError:
-                pass
+                continue
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{labels_dir}/v={v}/_SUCCESS")
+            ):
+                out.append(v)
     return sorted(out)
 
 
