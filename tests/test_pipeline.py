@@ -443,6 +443,20 @@ def test_compact_partitioned_versioned_object_store_safe(spark, tmp_path):
     assert sorted(map(
         tuple, read_partitioned_current(spark, root).select("s", "p", "o").collect()
     )) == want
+    # a crashed WRITER's residue at the next version number (v=3, no
+    # _SUCCESS) is overwritten by the next committed write, as the
+    # write_partitioned_versioned docstring claims
+    import pyspark.sql.functions as _F
+
+    os.makedirs(root + "/v=3/bucket=0", exist_ok=True)
+    with open(root + "/v=3/bucket=0/garbage.parquet", "w") as fh:
+        fh.write("not parquet")
+    v3 = write_partitioned_versioned(
+        batch(0, 50).withColumn("o", _F.col("o")), root, bucket_col="s",
+        n_buckets=n_buckets, sort_cols=["s", "p", "o"],
+    )
+    assert v3 == 3 and committed_versions(spark, root) == [1, 2, 3]
+    assert read_partitioned_current(spark, root).count() == 50
 
 
 def test_composed_lifecycle_matches_from_scratch(spark, tmp_path):
